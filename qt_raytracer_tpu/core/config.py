@@ -1,0 +1,75 @@
+"""Render configuration.
+
+Subsumes the reference's three config tiers (CLI flag, QML-validated runtime
+properties, CMake build options — ``src/app/main.cpp:112-121``,
+``resources/qml/Main.qml:55-102``, ``src/app/RayTracerFboItem.cpp:189-228``)
+into one frozen dataclass with the same clamping rules, passed to ``jit`` as a
+static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# Validation ranges mirrored from the reference UI
+# (resources/qml/Main.qml:394,426,458,491 and RayTracerFboItem.cpp:189-228).
+MIN_DIM = 1          # item setters clamp to >=64; QML allows >=100; we allow tiny test images
+MAX_WIDTH = 3840
+MAX_HEIGHT = 2160
+MIN_SPP = 1
+MAX_SPP = 1000
+MIN_DEPTH = 1
+MAX_DEPTH = 100
+
+# AA presets (resources/qml/Main.qml:91-102).
+AA_PRESETS = {"low": 8, "medium": 24, "high": 64}
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (hashable; used as a jit static arg).
+
+    Defaults match the reference QML panel (resources/qml/Main.qml:10-13):
+    400x225, 24 spp, max depth 10.
+    """
+
+    width: int = 400
+    height: int = 225
+    spp: int = 24
+    max_depth: int = 10
+    # t interval for valid hits; 1e-3 is the reference's shadow-acne epsilon
+    # (include/raytracer/RayTracer.h:585).
+    t_min: float = 1.0e-3
+    # Quantizer variant: "cpu" = int(256*clamp(c,0,.999))  (RayTracerFboItem.cpp:115-127)
+    #                    "gpu" = uint(c*255)               (GpuPathTracer.cpp shader out)
+    quantizer: str = "cpu"
+    # How many samples to trace per scan step of the sample loop. Larger values
+    # give XLA bigger fused batches (better MXU/VPU occupancy on small images)
+    # at the cost of 'samples_per_batch' times the ray-state memory.
+    samples_per_batch: int = 1
+
+    def __post_init__(self):
+        object.__setattr__(self, "width", _clamp(self.width, MIN_DIM, MAX_WIDTH))
+        object.__setattr__(self, "height", _clamp(self.height, MIN_DIM, MAX_HEIGHT))
+        object.__setattr__(self, "spp", _clamp(self.spp, MIN_SPP, MAX_SPP))
+        object.__setattr__(self, "max_depth", _clamp(self.max_depth, MIN_DEPTH, MAX_DEPTH))
+        if self.quantizer not in ("cpu", "gpu"):
+            raise ValueError(f"quantizer must be 'cpu' or 'gpu', got {self.quantizer!r}")
+        if self.spp % self.samples_per_batch != 0:
+            # round batch down to a divisor of spp so the scan is exact
+            spb = self.samples_per_batch
+            while self.spp % spb != 0:
+                spb -= 1
+            object.__setattr__(self, "samples_per_batch", spb)
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    @property
+    def aspect_ratio(self) -> float:
+        return self.width / self.height
+
+
+def _clamp(x: int, lo: int, hi: int) -> int:
+    return max(lo, min(hi, int(x)))

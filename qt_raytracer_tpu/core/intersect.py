@@ -1,0 +1,122 @@
+"""Ray-primitive intersection, expressed for the MXU.
+
+The reference intersects via virtual dispatch down a pointer BVH
+(RayTracer.h:431-439) or a serial 4-sphere loop in the GPU kernels
+(GpuPathTracer.cpp:217-240). On TPU, the profitable decomposition of the
+ray-sphere quadratic (RayTracer.h:289-314)
+
+    oc     = o - c
+    half_b = oc . d   = (o . d) - (c . d)
+    cterm  = |oc|^2 - r^2 = |o|^2 - 2 (o . c) + |c|^2 - r^2
+
+turns the two cross terms (c . d) and (o . c) for N rays x S spheres into
+[N,3] @ [3,S] matmuls — the whole closest-hit search becomes two MXU matmuls
+plus VPU elementwise work and a row argmin. Brute force on the systolic array
+beats divergent tree walks up to thousands of primitives; larger scenes go
+through accel/ (BVH) instead.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from . import vecmath as vm
+from .scene import SphereScene
+
+BIG = jnp.float32(3.0e38)  # stand-in for +inf that survives arithmetic
+
+
+class Hits(NamedTuple):
+    """SoA hit record batch — TPU analog of HitRecord (RayTracer.h:208-219)."""
+
+    t: jnp.ndarray           # [N] hit distance (BIG when miss)
+    prim_idx: jnp.ndarray    # [N] i32 index of nearest primitive (0 if miss)
+    hit: jnp.ndarray         # [N] bool
+    point: jnp.ndarray       # [N,3] hit point
+    normal: jnp.ndarray      # [N,3] forward-facing normal
+    front_face: jnp.ndarray  # [N] bool (RayTracer.h:215-218 set_face_normal)
+
+
+def sphere_hit_ts(scene: SphereScene, origins, directions, t_min, t_max):
+    """Per-(ray, sphere) nearest valid root, [N, S]; BIG where no valid hit.
+
+    Exactly mirrors Sphere::hit root selection (RayTracer.h:289-305): try the
+    near root (-half_b - sqrtd)/a, fall back to the far root, reject outside
+    [t_min, t_max].
+    """
+    o, d = origins, directions
+    c, r = scene.center, scene.radius
+
+    a = vm.length_squared(d)[:, None]                       # [N,1]
+    o_dot_d = vm.dot(o, d)[:, None]                         # [N,1]
+    # MXU: [N,3] @ [3,S]
+    d_dot_c = d @ c.T                                       # [N,S]
+    o_dot_c = o @ c.T                                       # [N,S]
+    half_b = o_dot_d - d_dot_c                              # [N,S]
+    cterm = (
+        vm.length_squared(o)[:, None] - 2.0 * o_dot_c
+        + (vm.length_squared(c) - r * r)[None, :]
+    )                                                       # [N,S]
+
+    disc = half_b * half_b - a * cterm
+    has_root = disc >= 0.0
+    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv_a = 1.0 / a
+    root_near = (-half_b - sqrtd) * inv_a
+    root_far = (-half_b + sqrtd) * inv_a
+
+    in_range = lambda t: (t >= t_min) & (t <= t_max)
+    near_ok = in_range(root_near)
+    root = jnp.where(near_ok, root_near, root_far)
+    valid = has_root & (near_ok | in_range(root_far)) & scene.active[None, :]
+    return jnp.where(valid, root, BIG)
+
+
+def intersect_spheres(
+    scene: SphereScene, origins, directions, t_min, t_max=BIG
+) -> Hits:
+    """Closest-hit over all spheres — HitableList::hit (RayTracer.h:339-353)
+    as a vectorized argmin instead of a serial shrinking scan.
+
+    Tie-breaking: equal-t ties resolve to the lowest sphere index (the
+    reference's serial scan resolves to the highest); ties are measure-zero
+    and the oracle mirrors argmin semantics.
+    """
+    ts = sphere_hit_ts(scene, origins, directions, t_min, t_max)  # [N,S]
+    prim_idx = jnp.argmin(ts, axis=1).astype(jnp.int32)           # [N]
+    t_coarse = jnp.take_along_axis(ts, prim_idx[:, None], axis=1)[:, 0]
+    hit = t_coarse < BIG
+
+    # Precision refinement: the MXU expansion |o|^2 - 2 o.c + |c|^2 - r^2 is
+    # ill-conditioned in f32 for large spheres (catastrophic cancellation at
+    # |c| ~ 1e3). Recompute the winning sphere's roots with the
+    # well-conditioned oc = o - c form (exactly Sphere::hit,
+    # RayTracer.h:289-305) — an O(N) gather, negligible next to the O(N*S)
+    # search.
+    c_sel = scene.center[prim_idx]
+    r_sel = scene.radius[prim_idx]
+    oc = origins - c_sel
+    a1 = vm.length_squared(directions)
+    half_b1 = vm.dot(oc, directions)
+    c1 = vm.length_squared(oc) - r_sel * r_sel
+    disc1 = half_b1 * half_b1 - a1 * c1
+    sqrtd1 = jnp.sqrt(jnp.maximum(disc1, 0.0))
+    near1 = (-half_b1 - sqrtd1) / a1
+    far1 = (-half_b1 + sqrtd1) / a1
+    near_ok1 = (near1 >= t_min) & (near1 <= t_max)
+    t_fine = jnp.where(near_ok1, near1, far1)
+    fine_ok = (disc1 >= 0.0) & (near_ok1 | ((far1 >= t_min) & (far1 <= t_max)))
+    t = jnp.where(hit & fine_ok, t_fine, t_coarse)
+
+    point = origins + t[:, None] * directions
+    center = scene.center[prim_idx]                               # [N,3] gather
+    radius = scene.radius[prim_idx]                               # [N]
+    # Outward normal (p - c)/r (RayTracer.h:309); guard r=0 padding slots.
+    outward = (point - center) / jnp.where(radius == 0.0, 1.0, radius)[:, None]
+    front_face = vm.dot(directions, outward) < 0.0
+    normal = jnp.where(front_face[:, None], outward, -outward)
+
+    return Hits(t=t, prim_idx=prim_idx, hit=hit, point=point,
+                normal=normal, front_face=front_face)

@@ -1,0 +1,109 @@
+"""Top-level render API: render(scene, camera, config, key) -> image.
+
+Replaces the reference's render orchestration (RenderWorker tile loop,
+src/app/RayTracerFboItem.cpp:46-143): tiles + a dynamic work queue become a
+flat SoA ray batch (the chips are SPMD — sharding lives in parallel/), and the
+per-pixel sample loop becomes a ``lax.scan`` over sample batches with a donated
+accumulator.
+
+Pixel conventions match the reference exactly (RayTracerFboItem.cpp:102-127):
+row 0 is the TOP of the image, the viewport v coordinate uses j = height-1-row,
+u = (i + jitter)/(width-1), v = (j + jitter)/(height-1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import camera as cam_mod
+from . import sampling, tonemap
+from .config import RenderConfig
+from .integrator import trace
+from .scene import SphereScene
+
+
+def pixel_grid(cfg: RenderConfig, dtype=jnp.float32):
+    """Flat per-pixel (i, j) viewport integer coordinates, image order.
+
+    Returns (i [N], j [N], pixel_index [N]) with pixel_index = row*W + col,
+    row 0 = top; j = height-1-row is the bottom-origin coordinate used by the
+    reference's v computation.
+    """
+    h, w = cfg.height, cfg.width
+    rows = jnp.arange(h)
+    cols = jnp.arange(w)
+    py, px = jnp.meshgrid(rows, cols, indexing="ij")  # [h,w]
+    i = px.reshape(-1).astype(dtype)
+    j = (h - 1 - py).reshape(-1).astype(dtype)
+    pixel_index = (py * w + px).reshape(-1).astype(jnp.uint32)
+    return i, j, pixel_index
+
+
+def _sample_radiance(scene, camera, cfg: RenderConfig, pix_keys, i, j, sample_idx):
+    """Trace one sample for every pixel; returns [N,3] linear radiance."""
+    samp_keys = sampling.sample_keys(pix_keys, sample_idx)
+    gen = sampling.stream_uniforms(samp_keys, sampling.STREAM_GEN,
+                                  sampling.UNIFORMS_GEN)
+    inv_w = 1.0 / max(cfg.width - 1, 1)
+    inv_h = 1.0 / max(cfg.height - 1, 1)
+    s = (i + gen[:, 0]) * inv_w
+    t = (j + gen[:, 1]) * inv_h
+    origins, directions = cam_mod.get_rays(camera, s, t, gen[:, 2], gen[:, 3])
+    return trace(scene, origins, directions, samp_keys, cfg.max_depth, cfg.t_min)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_linear(
+    scene: SphereScene, camera, cfg: RenderConfig, key: jax.Array
+) -> jnp.ndarray:
+    """Sum of spp linear radiance samples, shape [H, W, 3] (row 0 = top).
+
+    Divide by cfg.spp (or use tonemap.resolve) for the mean image. Keeping the
+    un-normalized sum makes progressive accumulation and cross-chip psum exact.
+    """
+    i, j, pixel_index = pixel_grid(cfg)
+    pix_keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(pixel_index)
+
+    spb = cfg.samples_per_batch
+    num_batches = cfg.spp // spb
+
+    def batch_step(accum, batch_idx):
+        def one_sample(acc, k):
+            sample_idx = batch_idx * spb + k
+            return acc + _sample_radiance(scene, camera, cfg, pix_keys, i, j,
+                                          sample_idx), None
+        accum, _ = jax.lax.scan(one_sample, accum, jnp.arange(spb))
+        return accum, None
+
+    accum = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    accum, _ = jax.lax.scan(batch_step, accum, jnp.arange(num_batches))
+    return accum.reshape(cfg.height, cfg.width, 3)
+
+
+def render(scene: SphereScene, camera, cfg: RenderConfig, key: jax.Array):
+    """Full batch render -> uint8 image [H, W, 3] (gamma-2, quantized)."""
+    accum = render_linear(scene, camera, cfg, key)
+    return tonemap.to_uint8(accum, cfg.spp, cfg.quantizer)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_sample_batch(
+    scene: SphereScene, camera, cfg: RenderConfig, key: jax.Array,
+    start_sample: jnp.ndarray, num_samples: int,
+) -> jnp.ndarray:
+    """Linear radiance sum for samples [start, start+num) — the progressive
+    building block (1-spp-per-frame accumulation of the GPU backends,
+    GpuPathTracer.cpp:279-282, generalized to any batch size)."""
+    i, j, pixel_index = pixel_grid(cfg)
+    pix_keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(pixel_index)
+
+    def one_sample(acc, k):
+        return acc + _sample_radiance(scene, camera, cfg, pix_keys, i, j,
+                                      start_sample + k), None
+
+    accum = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    accum, _ = jax.lax.scan(one_sample, accum, jnp.arange(num_samples))
+    return accum.reshape(cfg.height, cfg.width, 3)

@@ -1,0 +1,218 @@
+"""Scalar float64 oracle tracer.
+
+An independent NumPy re-implementation of the transport math, mirroring the
+reference CPU tracer's semantics (include/raytracer/RayTracer.h:579-596 ray
+color, :289-314 sphere hit, :473-540 materials, :543-576 camera,
+src/app/RayTracerFboItem.cpp:102-128 pixel loop) in plain scalar loops at
+double precision. It consumes the *identical* threefry uniform stream as the
+vectorized TPU renderer (extracted via qt_raytracer_tpu.core.sampling), so any
+disagreement beyond float32-vs-float64 rounding is an algorithmic bug in the
+renderer — this is the golden-image seam the reference lacks (its four
+backends could never be cross-checked; SURVEY.md §1 note 1).
+
+Deliberate differences from the reference, mirrored here by design:
+  - closed-form disk/sphere samplers instead of rejection loops,
+  - closest-hit ties resolve to the lowest primitive index (argmin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from ..core import sampling
+from ..core.config import RenderConfig
+from ..core.scene import DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL
+
+TWO_PI = 6.283185307179586
+
+
+# ---------------------------------------------------------------- RNG stream
+def extract_uniforms(key, cfg: RenderConfig):
+    """Materialize the renderer's full uniform stream on host.
+
+    Returns (gen [spp, N, 4], bounce [spp, N, depth, 8]) float64 arrays,
+    bitwise equal (as f32) to what the renderer consumes.
+    """
+    n = cfg.num_pixels
+    pix_keys = sampling.pixel_keys(key, n)
+    gen_all = []
+    bounce_all = []
+    for s in range(cfg.spp):
+        samp_keys = sampling.sample_keys(pix_keys, s)
+        gen_all.append(np.asarray(
+            sampling.stream_uniforms(samp_keys, sampling.STREAM_GEN,
+                                     sampling.UNIFORMS_GEN), np.float64))
+        per_bounce = [
+            np.asarray(sampling.stream_uniforms(
+                samp_keys, sampling.STREAM_BOUNCE0 + b,
+                sampling.UNIFORMS_PER_BOUNCE), np.float64)
+            for b in range(cfg.max_depth)
+        ]
+        bounce_all.append(np.stack(per_bounce, axis=1))  # [N, depth, 8]
+    return np.stack(gen_all), np.stack(bounce_all)
+
+
+# ------------------------------------------------------------- scalar helpers
+def _unit(v):
+    return v / np.linalg.norm(v)
+
+
+def _reflect(v, n):
+    return v - 2.0 * np.dot(v, n) * n
+
+
+def _refract(uv, n, ratio):
+    cos_theta = min(np.dot(-uv, n), 1.0)
+    r_out_perp = ratio * (uv + cos_theta * n)
+    r_out_parallel = -np.sqrt(abs(1.0 - np.dot(r_out_perp, r_out_perp))) * n
+    return r_out_perp + r_out_parallel
+
+
+def _reflectance(cosine, ref_idx):
+    r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
+    r0 = r0 * r0
+    return r0 + (1.0 - r0) * (1.0 - cosine) ** 5
+
+
+def _unit_vector_sample(u1, u2):
+    z = 1.0 - 2.0 * u1
+    r = np.sqrt(max(0.0, 1.0 - z * z))
+    phi = TWO_PI * u2
+    return np.array([r * np.cos(phi), r * np.sin(phi), z])
+
+
+def _in_unit_sphere_sample(u1, u2, u3):
+    return _unit_vector_sample(u1, u2) * np.cbrt(u3)
+
+
+def _in_unit_disk_sample(u1, u2):
+    r = np.sqrt(u1)
+    phi = TWO_PI * u2
+    return np.array([r * np.cos(phi), r * np.sin(phi), 0.0])
+
+
+# ------------------------------------------------------------------ geometry
+def _hit_scene(scene, o, d, t_min):
+    """Closest sphere hit; mirrors Sphere::hit + argmin tie-break."""
+    centers = scene["center"]
+    radii = scene["radius"]
+    active = scene["active"]
+    best_t = np.inf
+    best_i = -1
+    for si in range(len(radii)):
+        if not active[si]:
+            continue
+        oc = o - centers[si]
+        a = np.dot(d, d)
+        half_b = np.dot(oc, d)
+        c = np.dot(oc, oc) - radii[si] * radii[si]
+        disc = half_b * half_b - a * c
+        if disc < 0:
+            continue
+        sqrtd = np.sqrt(disc)
+        root = (-half_b - sqrtd) / a
+        if root < t_min or root > best_t:
+            root = (-half_b + sqrtd) / a
+            if root < t_min or root > best_t:
+                continue
+        if root < best_t:  # strict: ties keep the earlier (lower) index
+            best_t = root
+            best_i = si
+    return best_t, best_i
+
+
+def _sky(d):
+    unit = _unit(d)
+    t = 0.5 * (unit[1] + 1.0)
+    return (1.0 - t) * np.array([1.0, 1.0, 1.0]) + t * np.array([0.5, 0.7, 1.0])
+
+
+# ----------------------------------------------------------------- transport
+def _trace_one(scene, o, d, bounce_u, max_depth, t_min):
+    throughput = np.ones(3)
+    for b in range(max_depth):
+        t, si = _hit_scene(scene, o, d, t_min)
+        if si < 0:
+            return throughput * _sky(d)
+        p = o + t * d
+        outward = (p - scene["center"][si]) / scene["radius"][si]
+        front_face = np.dot(d, outward) < 0.0
+        normal = outward if front_face else -outward
+        u = bounce_u[b]
+        mat = scene["mat_type"][si]
+
+        if mat == LAMBERTIAN:
+            nd = normal + _unit_vector_sample(u[0], u[1])
+            if np.dot(nd, nd) < 1e-8:
+                nd = normal
+            throughput = throughput * scene["albedo"][si]
+            o, d = p, nd
+        elif mat == METAL:
+            refl = _reflect(_unit(d), normal)
+            nd = refl + scene["fuzz"][si] * _in_unit_sphere_sample(u[0], u[1], u[2])
+            if np.dot(nd, normal) <= 0.0:
+                return np.zeros(3)  # absorbed (RayTracer.h:498)
+            throughput = throughput * scene["albedo"][si]
+            o, d = p, nd
+        elif mat == DIELECTRIC:
+            ior = scene["ior"][si]
+            ratio = (1.0 / ior) if front_face else ior
+            ud = _unit(d)
+            cos_theta = min(np.dot(-ud, normal), 1.0)
+            sin_theta = np.sqrt(max(0.0, 1.0 - cos_theta * cos_theta))
+            cannot = ratio * sin_theta > 1.0
+            if cannot or _reflectance(cos_theta, ratio) > u[3]:
+                nd = _reflect(ud, normal)
+            else:
+                nd = _refract(ud, normal, ratio)
+            o, d = p, nd
+        elif mat == EMISSIVE:
+            return throughput * scene["emission"][si]
+        else:
+            raise ValueError(f"bad material tag {mat}")
+    return np.zeros(3)  # depth exhausted -> black (RayTracer.h:582)
+
+
+def camera_to_np(camera) -> dict:
+    return {k: np.asarray(getattr(camera, k), np.float64)
+            for k in ("origin", "lower_left_corner", "horizontal", "vertical",
+                      "u", "v", "w", "lens_radius")}
+
+
+def scene_to_np(scene) -> dict:
+    return {k: np.asarray(getattr(scene, k), np.float64 if k != "mat_type" else np.int32)
+            for k in ("center", "radius", "mat_type", "albedo", "fuzz", "ior",
+                      "emission", "active")}
+
+
+def render_oracle_linear(scene, camera, cfg: RenderConfig, key) -> np.ndarray:
+    """Sum of spp linear radiance samples, [H, W, 3] float64 — directly
+    comparable to render_linear()."""
+    sc = scene_to_np(scene)
+    cam = camera_to_np(camera)
+    gen_u, bounce_u = extract_uniforms(key, cfg)
+
+    h, w = cfg.height, cfg.width
+    inv_w = 1.0 / max(w - 1, 1)
+    inv_h = 1.0 / max(h - 1, 1)
+    out = np.zeros((h, w, 3))
+    for py in range(h):
+        j = h - 1 - py
+        for px in range(w):
+            pix = py * w + px
+            acc = np.zeros(3)
+            for s in range(cfg.spp):
+                g = gen_u[s, pix]
+                u_coord = (px + g[0]) * inv_w
+                v_coord = (j + g[1]) * inv_h
+                rd = cam["lens_radius"] * _in_unit_disk_sample(g[2], g[3])
+                offset = rd[0] * cam["u"] + rd[1] * cam["v"]
+                o = cam["origin"] + offset
+                d = (cam["lower_left_corner"] + u_coord * cam["horizontal"]
+                     + v_coord * cam["vertical"] - cam["origin"] - offset)
+                acc += _trace_one(sc, o, d, bounce_u[s, pix], cfg.max_depth,
+                                  cfg.t_min)
+            out[py, px] = acc
+    return out

@@ -1,0 +1,55 @@
+"""Tonemap quantizers and config clamping — ports the reference's two
+quantizer formulas (RayTracerFboItem.cpp:115-127 vs GPU shaders) and the
+QML/setter validation rules (Main.qml:394-491, RayTracerFboItem.cpp:189-228)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qt_raytracer_tpu import AA_PRESETS, RenderConfig, tonemap
+
+
+def test_cpu_quantizer_exact():
+    # int(256 * clamp(c, 0, 0.999))
+    g = jnp.array([[-0.5, 0.0, 0.25, 0.999, 1.0, 2.0]])
+    q = np.asarray(tonemap.quantize(g, "cpu"))
+    np.testing.assert_array_equal(q[0], [0, 0, 64, 255, 255, 255])
+
+
+def test_gpu_quantizer_exact():
+    # uint(c * 255)
+    g = jnp.array([[-0.5, 0.0, 0.25, 1.0, 2.0]])
+    q = np.asarray(tonemap.quantize(g, "gpu"))
+    np.testing.assert_array_equal(q[0], [0, 0, 63, 255, 255])
+
+
+def test_resolve_gamma2():
+    # mean over spp then sqrt (gamma 2), RayTracerFboItem.cpp:115-118.
+    accum = jnp.full((2, 2, 3), 8.0)
+    out = np.asarray(tonemap.resolve(accum, 2))
+    np.testing.assert_allclose(out, 2.0, atol=1e-6)
+
+
+def test_config_clamps():
+    cfg = RenderConfig(width=100000, height=0, spp=5000, max_depth=0)
+    assert cfg.width == 3840 and cfg.height == 1
+    assert cfg.spp == 1000 and cfg.max_depth == 1
+
+
+def test_config_defaults_match_reference_panel():
+    cfg = RenderConfig()
+    assert (cfg.width, cfg.height, cfg.spp, cfg.max_depth) == (400, 225, 24, 10)
+
+
+def test_aa_presets():
+    assert AA_PRESETS == {"low": 8, "medium": 24, "high": 64}
+
+
+def test_bad_quantizer_rejected():
+    with pytest.raises(ValueError):
+        RenderConfig(quantizer="hdr")
+
+
+def test_samples_per_batch_rounded_to_divisor():
+    cfg = RenderConfig(spp=24, samples_per_batch=7)
+    assert cfg.spp % cfg.samples_per_batch == 0
