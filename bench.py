@@ -1,0 +1,67 @@
+"""Headline benchmark: full-frame path tracing throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the book-cover random scene (reference RayTracer.h:599-643) at
+1920x1080, 1 spp, max_depth 10 — the BASELINE.md "rays/s/chip at 1spp 1080p"
+config. Throughput metric = Msamples/s = W*H*spp / elapsed, the reference's
+own formula (src/app/RayTracerFboItem.cpp:400-404).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+comparison anchor is a nominal 10 Msamples/s — a generous estimate for the
+reference's multithreaded CPU tracer on a desktop workstation (its only
+backend that renders this scene; the GPU backends hardcode a 4-sphere scene).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+BASELINE_MSAMPLES = 10.0
+
+
+def main() -> None:
+    from qt_raytracer_tpu import RenderConfig
+    from qt_raytracer_tpu.core.render import render_linear
+    from qt_raytracer_tpu.models import scenes
+
+    cfg = RenderConfig(width=1920, height=1080, spp=1, max_depth=10,
+                       pixel_chunk=259200)  # 8 chunks of 1/8 frame
+    scene, camera = scenes.get_scene("random", cfg.aspect_ratio)
+    key = jax.random.PRNGKey(0)
+
+    dev = jax.devices()[0]
+    t0 = time.time()
+    out = render_linear(scene, camera, cfg, key)
+    jax.block_until_ready(out)
+    compile_and_first = time.time() - t0
+
+    iters = 3
+    t0 = time.time()
+    for it in range(iters):
+        out = render_linear(scene, camera, cfg, jax.random.fold_in(key, it))
+    jax.block_until_ready(out)
+    elapsed = (time.time() - t0) / iters
+
+    samples = cfg.width * cfg.height * cfg.spp
+    msamples = samples / elapsed / 1e6
+    result = {
+        "metric": "path_trace_throughput_1080p_1spp_d10",
+        "value": round(msamples, 3),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msamples / BASELINE_MSAMPLES, 3),
+    }
+    # Context lines on stderr-style extra keys are not allowed; keep the one
+    # JSON line contract and put extras after it on separate lines.
+    print(json.dumps(result))
+    print(f"# device={dev.platform}:{getattr(dev, 'device_kind', '?')} "
+          f"first_call_s={compile_and_first:.1f} steady_s={elapsed:.3f} "
+          f"mean={float(np.asarray(out).mean()):.4f}")
+
+
+if __name__ == "__main__":
+    main()

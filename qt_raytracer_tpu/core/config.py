@@ -47,6 +47,11 @@ class RenderConfig:
     # give XLA bigger fused batches (better MXU/VPU occupancy on small images)
     # at the cost of 'samples_per_batch' times the ray-state memory.
     samples_per_batch: int = 1
+    # If > 0, trace pixels in chunks of this many rays (lax.scan over chunks).
+    # Bounds the [rays, spheres] intersection intermediate: at 1080p x 128
+    # spheres the unchunked buffer is ~1 GB/bounce of HBM traffic; a 128Ki-ray
+    # chunk keeps working sets cache-friendly. 0 = no chunking.
+    pixel_chunk: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "width", _clamp(self.width, MIN_DIM, MAX_WIDTH))

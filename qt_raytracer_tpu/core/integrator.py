@@ -39,7 +39,7 @@ class RayState(NamedTuple):
 
 def sky_color(directions):
     """Vertical white->blue gradient on miss (RayTracer.h:593-595)."""
-    unit = vm.unit_vector(directions)
+    unit = vm.safe_unit_vector(directions)
     t = 0.5 * (unit[..., 1] + 1.0)
     white = jnp.array([1.0, 1.0, 1.0], directions.dtype)
     blue = jnp.array([0.5, 0.7, 1.0], directions.dtype)
@@ -59,14 +59,17 @@ def trace(
     sample_keys: [N] per-ray threefry keys; bounce b consumes stream
     STREAM_BOUNCE0+b (counter-based, shard-invariant).
     """
-    n = origins.shape[0]
-    dtype = origins.dtype
+    # Derive the initial carry from the ray inputs (origins * 0) rather than
+    # fresh constants: under shard_map, constants are "unvarying" over mesh
+    # axes while the loop output varies, and lax.scan requires carry types to
+    # match exactly (jax >= 0.9 varying-manual-axes check).
+    zero3 = origins * 0.0
     state = RayState(
         origin=origins,
         direction=directions,
-        throughput=jnp.ones((n, 3), dtype),
-        radiance=jnp.zeros((n, 3), dtype),
-        alive=jnp.ones((n,), bool),
+        throughput=zero3 + 1.0,
+        radiance=zero3,
+        alive=zero3[..., 0] == 0.0,
     )
 
     def bounce(state: RayState, depth_idx):

@@ -62,7 +62,7 @@ def sphere_hit_ts(scene: SphereScene, origins, directions, t_min, t_max):
 
     disc = half_b * half_b - a * cterm
     has_root = disc >= 0.0
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sqrtd = vm.safe_sqrt(disc)
     inv_a = 1.0 / a
     root_near = (-half_b - sqrtd) * inv_a
     root_far = (-half_b + sqrtd) * inv_a
@@ -102,7 +102,7 @@ def intersect_spheres(
     half_b1 = vm.dot(oc, directions)
     c1 = vm.length_squared(oc) - r_sel * r_sel
     disc1 = half_b1 * half_b1 - a1 * c1
-    sqrtd1 = jnp.sqrt(jnp.maximum(disc1, 0.0))
+    sqrtd1 = vm.safe_sqrt(disc1)
     near1 = (-half_b1 - sqrtd1) / a1
     far1 = (-half_b1 + sqrtd1) / a1
     near_ok1 = (near1 >= t_min) & (near1 <= t_max)
@@ -110,7 +110,12 @@ def intersect_spheres(
     fine_ok = (disc1 >= 0.0) & (near_ok1 | ((far1 >= t_min) & (far1 <= t_max)))
     t = jnp.where(hit & fine_ok, t_fine, t_coarse)
 
-    point = origins + t[:, None] * directions
+    # Miss lanes carry t=BIG; origin + BIG*d overflows to inf, and inf in the
+    # untaken branch of a jnp.where poisons the backward pass with NaN (the
+    # double-where pitfall). Use a masked-safe t for the geometric outputs —
+    # they are meaningless (and fully masked) on miss lanes anyway.
+    t_safe = jnp.where(hit, t, 1.0)
+    point = origins + t_safe[:, None] * directions
     center = scene.center[prim_idx]                               # [N,3] gather
     radius = scene.radius[prim_idx]                               # [N]
     # Outward normal (p - c)/r (RayTracer.h:309); guard r=0 padding slots.

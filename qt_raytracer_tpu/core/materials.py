@@ -42,7 +42,7 @@ def scatter(
     emission = scene.emission[prim_idx]
 
     u0, u1, u2, u3 = (uniforms[:, i] for i in range(4))
-    unit_in = vm.unit_vector(in_dir)
+    unit_in = vm.safe_unit_vector(in_dir)
 
     # --- Lambertian (RayTracer.h:473-488): normal + random_unit_vector with
     # degenerate-direction guard.
@@ -61,7 +61,7 @@ def scatter(
     # white attenuation.
     ratio = jnp.where(front_face, 1.0 / ior, ior)
     cos_theta = jnp.minimum(vm.dot(-unit_in, normal), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = vm.safe_sqrt(1.0 - cos_theta * cos_theta)
     cannot_refract = ratio * sin_theta > 1.0
     must_reflect = cannot_refract | (_reflectance(cos_theta, ratio) > u3)
     die_dir = jnp.where(

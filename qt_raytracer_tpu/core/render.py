@@ -70,16 +70,32 @@ def render_linear(
     spb = cfg.samples_per_batch
     num_batches = cfg.spp // spb
 
-    def batch_step(accum, batch_idx):
-        def one_sample(acc, k):
-            sample_idx = batch_idx * spb + k
-            return acc + _sample_radiance(scene, camera, cfg, pix_keys, i, j,
-                                          sample_idx), None
-        accum, _ = jax.lax.scan(one_sample, accum, jnp.arange(spb))
-        return accum, None
+    def render_chunk(pix_keys_c, i_c, j_c):
+        def batch_step(accum, batch_idx):
+            def one_sample(acc, k):
+                sample_idx = batch_idx * spb + k
+                return acc + _sample_radiance(scene, camera, cfg, pix_keys_c,
+                                              i_c, j_c, sample_idx), None
+            accum, _ = jax.lax.scan(one_sample, accum, jnp.arange(spb))
+            return accum, None
 
-    accum = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
-    accum, _ = jax.lax.scan(batch_step, accum, jnp.arange(num_batches))
+        accum = jnp.zeros((i_c.shape[0], 3), jnp.float32)
+        accum, _ = jax.lax.scan(batch_step, accum, jnp.arange(num_batches))
+        return accum
+
+    n = cfg.num_pixels
+    chunk = cfg.pixel_chunk
+    if chunk <= 0 or chunk >= n:
+        accum = render_chunk(pix_keys, i, j)
+    else:
+        # Pad to a whole number of chunks; padding replays pixel 0 (its keys
+        # are real, results are sliced off) so every chunk is full-size.
+        n_pad = (-n) % chunk
+        pad = lambda x: jnp.concatenate([x, x[:n_pad]]) if n_pad else x
+        c = lambda x: pad(x).reshape((-1, chunk) + x.shape[1:])
+        accum = jax.lax.map(
+            lambda args: render_chunk(*args), (c(pix_keys), c(i), c(j))
+        ).reshape(-1, 3)[:n]
     return accum.reshape(cfg.height, cfg.width, 3)
 
 

@@ -44,7 +44,7 @@ def random_unit_vector(u1, u2):
     the uniform sphere-surface distribution.
     """
     z = 1.0 - 2.0 * u1
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = jnp.sqrt(jnp.maximum(1.0e-20, 1.0 - z * z))
     phi = TWO_PI * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 

@@ -1,0 +1,113 @@
+"""Differentiable/inverse rendering.
+
+No reference counterpart (the reference is forward-only; SURVEY.md §2.6) —
+this is the north-star extension: the renderer is differentiable w.r.t.
+material albedo, emitter radiance and camera parameters, so scenes can be
+*recovered* from images by gradient descent.
+
+Gradient estimator: detached-decision pathwise ("reparameterized") gradients —
+all sampling decisions (which bounce branch, reflect-vs-refract, hit
+structure via argmin) are functions of counter-based uniforms and are held
+fixed; derivatives flow through the continuous transport factors
+(attenuations, normals, hit points, camera rays). This matches finite
+differences of the same fixed-key render exactly, and is unbiased for
+interior (non-silhouette) pixels. Edge-aware visibility gradients are a later
+extension (PAPERS.md reparameterization literature).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import RenderConfig
+from ..core.render import render_linear
+from ..core.scene import SphereScene
+from ..parallel.sharding import render_linear_sharded
+
+# Scene fields exposed to the optimizer by default.
+DEFAULT_TRAINABLE = ("albedo", "emission")
+
+
+def split_scene(scene: SphereScene, trainable=DEFAULT_TRAINABLE):
+    """Partition a scene into (params dict, rebuild closure)."""
+    params = {name: getattr(scene, name) for name in trainable}
+
+    def rebuild(p):
+        return dataclasses.replace(scene, **p)
+
+    return params, rebuild
+
+
+def mean_image(scene, camera, cfg: RenderConfig, key, mesh=None):
+    """Per-sample mean linear radiance image — the differentiable target."""
+    if mesh is None:
+        acc = render_linear(scene, camera, cfg, key)
+    else:
+        acc = render_linear_sharded(scene, camera, cfg, key, mesh)
+    return acc / cfg.spp
+
+
+def image_loss(scene, camera, cfg: RenderConfig, key, target, mesh=None):
+    """L2 loss in linear radiance space against a target image [H,W,3]."""
+    img = mean_image(scene, camera, cfg, key, mesh)
+    return jnp.mean((img - target) ** 2)
+
+
+class TrainState(NamedTuple):
+    params: Any            # dict of trainable scene fields (+ optional camera)
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_train_step(
+    scene: SphereScene,
+    camera,
+    cfg: RenderConfig,
+    optimizer: optax.GradientTransformation,
+    trainable=DEFAULT_TRAINABLE,
+    train_camera: bool = False,
+    mesh=None,
+):
+    """Build (init_state, step_fn) for inverse rendering.
+
+    step_fn(state, target, key) -> (state, loss): one SGD step on the
+    trainable scene fields (and optionally every camera field). With a mesh,
+    the forward/backward shards over ("sp","px") and shard_map's transpose
+    psums the parameter gradients over ICI automatically.
+    """
+    scene_params, rebuild_scene = split_scene(scene, trainable)
+    params = {"scene": scene_params}
+    if train_camera:
+        params["camera"] = camera
+
+    def loss_fn(p, target, key):
+        sc = rebuild_scene(p["scene"])
+        cam = p.get("camera", camera)
+        return image_loss(sc, cam, cfg, key, target, mesh)
+
+    def init_state():
+        return TrainState(params=params, opt_state=optimizer.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    @jax.jit
+    def step_fn(state: TrainState, target, key):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, target, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # Keep physical ranges: albedo in [0,1], emission >= 0.
+        if "albedo" in new_params["scene"]:
+            new_params["scene"]["albedo"] = jnp.clip(
+                new_params["scene"]["albedo"], 0.0, 1.0)
+        if "emission" in new_params["scene"]:
+            new_params["scene"]["emission"] = jnp.maximum(
+                new_params["scene"]["emission"], 0.0)
+        return TrainState(new_params, opt_state, state.step + 1), loss
+
+    return init_state, step_fn, rebuild_scene

@@ -96,6 +96,20 @@ def test_render_deterministic_same_key():
     assert np.abs(a - c).max() > 0  # different key -> different noise
 
 
+def test_pixel_chunk_invariance():
+    # Chunked pixel tracing (memory-bounded path) must not change results,
+    # including the non-divisible padding case.
+    scene, cam = scenes.get_scene("three_sphere", 1.5)
+    key = jax.random.PRNGKey(2)
+    base = RenderConfig(width=12, height=8, spp=2, max_depth=3)
+    ref = np.asarray(render_linear(scene, cam, base, key))
+    for chunk in (32, 40, 96):  # 96 pixels: divisible, ragged, exact
+        cfg = RenderConfig(width=12, height=8, spp=2, max_depth=3,
+                           pixel_chunk=chunk)
+        got = np.asarray(render_linear(scene, cam, cfg, key))
+        np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
+
+
 def test_samples_per_batch_invariance():
     # The sample-batch scan layout must not change results.
     scene, cam = scenes.get_scene("three_sphere", 1.5)

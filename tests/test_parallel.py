@@ -1,0 +1,51 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4: multi-node-without-a-cluster via
+--xla_force_host_platform_device_count=8, set in conftest.py)."""
+
+import jax
+import numpy as np
+import pytest
+
+from qt_raytracer_tpu import RenderConfig, render_linear
+from qt_raytracer_tpu.models import scenes
+from qt_raytracer_tpu.parallel.sharding import make_mesh, render_linear_sharded
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = RenderConfig(width=16, height=12, spp=4, max_depth=4)
+    scene, cam = scenes.get_scene("three_sphere", cfg.aspect_ratio)
+    key = jax.random.PRNGKey(0)
+    ref = np.asarray(render_linear(scene, cam, cfg, key))
+    return cfg, scene, cam, key, ref
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("sp,px", [(1, 8), (2, 4), (4, 2), (4, 1), (1, 1)])
+def test_sharded_render_matches_single_device(setup, sp, px):
+    # Bitwise mesh-shape invariance is the whole point of the counter-based
+    # RNG: any (sp, px) decomposition must give the SAME image.
+    cfg, scene, cam, key, ref = setup
+    devices = jax.devices()[: sp * px]
+    mesh = make_mesh(sp=sp, px=px, devices=devices)
+    img = np.asarray(render_linear_sharded(scene, cam, cfg, key, mesh))
+    np.testing.assert_allclose(img, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_nondivisible_pixels_padded(setup):
+    # 16x12 = 192 pixels over px=5 devices does not divide; padding must be
+    # sliced off invisibly.
+    cfg, scene, cam, key, ref = setup
+    mesh = make_mesh(sp=1, px=5, devices=jax.devices()[:5])
+    img = np.asarray(render_linear_sharded(scene, cam, cfg, key, mesh))
+    np.testing.assert_allclose(img, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_spp_not_divisible_raises(setup):
+    cfg, scene, cam, key, _ = setup
+    mesh = make_mesh(sp=3, px=1, devices=jax.devices()[:3])
+    with pytest.raises(ValueError, match="not divisible"):
+        render_linear_sharded(scene, cam, cfg, key, mesh)
