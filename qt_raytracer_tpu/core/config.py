@@ -47,6 +47,14 @@ class RenderConfig:
     # give XLA bigger fused batches (better MXU/VPU occupancy on small images)
     # at the cost of 'samples_per_batch' times the ray-state memory.
     samples_per_batch: int = 1
+    # Next-event estimation: sample emissive spheres directly at diffuse hits
+    # (shadow-ray wavefront per bounce). Unbiased; essential for enclosed
+    # emissive scenes (BASELINE config 2 Cornell box). Default off to match
+    # the reference's pure BSDF-sampling transport.
+    nee: bool = False
+    # Closest-hit search implementation: "auto" (pallas on TPU, xla
+    # elsewhere), "xla", "pallas", or "pallas_interpret" (CPU debugging).
+    intersector: str = "auto"
     # If > 0, trace pixels in chunks of this many rays (lax.scan over chunks).
     # Bounds the [rays, spheres] intersection intermediate: at 1080p x 128
     # spheres the unchunked buffer is ~1 GB/bounce of HBM traffic; a 128Ki-ray
@@ -60,6 +68,8 @@ class RenderConfig:
         object.__setattr__(self, "max_depth", _clamp(self.max_depth, MIN_DEPTH, MAX_DEPTH))
         if self.quantizer not in ("cpu", "gpu"):
             raise ValueError(f"quantizer must be 'cpu' or 'gpu', got {self.quantizer!r}")
+        if self.intersector not in ("auto", "xla", "pallas", "pallas_interpret"):
+            raise ValueError(f"unknown intersector {self.intersector!r}")
         if self.spp % self.samples_per_batch != 0:
             # round batch down to a divisor of spp so the scan is exact
             spb = self.samples_per_batch

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from . import materials, sampling, vecmath as vm
 from .intersect import intersect_spheres
-from .scene import SphereScene
+from .scene import LAMBERTIAN, SphereScene
 
 
 class RayState(NamedTuple):
@@ -35,6 +35,70 @@ class RayState(NamedTuple):
     throughput: jnp.ndarray  # [N,3]
     radiance: jnp.ndarray    # [N,3]
     alive: jnp.ndarray       # [N] bool
+    emit_ok: jnp.ndarray     # [N] bool: emitter hit counts (False right after
+    #                          a diffuse bounce when NEE already sampled it)
+
+
+def _onb(w):
+    """Branchless orthonormal basis around unit vector w (Duff et al. 2017)."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    sign = jnp.where(wz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + wz)
+    b = wx * wy * a
+    t1 = jnp.stack([1.0 + sign * wx * wx * a, sign * b, -sign * wx], axis=-1)
+    t2 = jnp.stack([b, sign + wy * wy * a, -wy], axis=-1)
+    return t1, t2
+
+
+def _nee_contribution(scene: SphereScene, hits, normal, throughput,
+                      diffuse_mask, uniforms, t_min, intersector):
+    """Next-event estimation: direct light via solid-angle (cone) sampling of
+    a uniformly chosen emissive sphere, one shadow-ray wavefront.
+
+    No reference analog (BASELINE config 2 extension). Estimator: for light
+    with center c, radius r seen from p under half-angle cos_max,
+    pdf_dir = 1/(2*pi*(1-cos_max)); the reference-consistent diffuse BRDF is
+    albedo/pi (core/materials.py samples cosine-weighted with attenuation =
+    albedo), so
+
+        L += T * albedo/pi * cos_surf * Le * 2*pi*(1-cos_max) * n_lights
+    """
+    u4, u5, u6 = uniforms[:, 4], uniforms[:, 5], uniforms[:, 6]
+    n_lights = scene.max_lights
+
+    pick = jnp.clip((u4 * n_lights).astype(jnp.int32), 0, n_lights - 1)
+    light = scene.light_idx[pick]                        # [N] (-1 = no light)
+    has_light = light >= 0
+    light_safe = jnp.maximum(light, 0)
+    lc = scene.center[light_safe]
+    lr = scene.radius[light_safe]
+    le = scene.emission[light_safe]
+
+    p = hits.point
+    to_l = lc - p
+    dist2 = vm.length_squared(to_l)
+    outside = dist2 > lr * lr * 1.0001
+    sin2_max = jnp.clip(lr * lr / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
+    cos_max = vm.safe_sqrt(1.0 - sin2_max)
+
+    w = vm.safe_unit_vector(to_l)
+    cos_s = 1.0 - u5 * (1.0 - cos_max)
+    sin_s = vm.safe_sqrt(1.0 - cos_s * cos_s)
+    phi = 2.0 * jnp.pi * u6
+    t1, t2 = _onb(w)
+    ldir = (sin_s * jnp.cos(phi))[:, None] * t1 \
+        + (sin_s * jnp.sin(phi))[:, None] * t2 + cos_s[:, None] * w
+
+    cos_surf = vm.dot(normal, ldir)
+    cand = diffuse_mask & has_light & outside & (cos_surf > 0.0)
+
+    shadow = intersect_spheres(scene, p, ldir, t_min, backend=intersector)
+    lit = cand & shadow.hit & (shadow.prim_idx == light_safe)
+
+    albedo = scene.albedo[hits.prim_idx]
+    weight = 2.0 * (1.0 - cos_max) * n_lights            # 2pi/pdf_norm / pi
+    contrib = throughput * albedo * (cos_surf * weight)[:, None] * le
+    return jnp.where(lit[:, None], contrib, 0.0)
 
 
 def sky_color(directions):
@@ -53,27 +117,36 @@ def trace(
     sample_keys: jnp.ndarray,
     max_depth: int,
     t_min: float = 1.0e-3,
+    intersector: str = "xla",
+    nee: bool = False,
 ) -> jnp.ndarray:
     """Trace N rays to completion; returns linear radiance [N,3].
 
     sample_keys: [N] per-ray threefry keys; bounce b consumes stream
     STREAM_BOUNCE0+b (counter-based, shard-invariant).
+
+    nee: enable next-event estimation (direct light sampling on diffuse hits
+    plus emitter-hit suppression after diffuse bounces; unbiased, massively
+    lower variance in enclosed emissive scenes like the Cornell box).
     """
     # Derive the initial carry from the ray inputs (origins * 0) rather than
     # fresh constants: under shard_map, constants are "unvarying" over mesh
     # axes while the loop output varies, and lax.scan requires carry types to
     # match exactly (jax >= 0.9 varying-manual-axes check).
     zero3 = origins * 0.0
+    true_mask = zero3[..., 0] == 0.0
     state = RayState(
         origin=origins,
         direction=directions,
         throughput=zero3 + 1.0,
         radiance=zero3,
-        alive=zero3[..., 0] == 0.0,
+        alive=true_mask,
+        emit_ok=true_mask,
     )
 
     def bounce(state: RayState, depth_idx):
-        hits = intersect_spheres(scene, state.origin, state.direction, t_min)
+        hits = intersect_spheres(scene, state.origin, state.direction,
+                                 t_min, backend=intersector)
 
         uniforms = sampling.stream_uniforms(
             sample_keys, sampling.STREAM_BOUNCE0 + depth_idx,
@@ -85,7 +158,7 @@ def trace(
         )
 
         miss = state.alive & ~hits.hit
-        emit_hit = state.alive & hits.hit
+        emit_hit = state.alive & hits.hit & state.emit_ok
         radiance = state.radiance
         radiance = radiance + jnp.where(
             miss[:, None], state.throughput * sky_color(state.direction), 0.0
@@ -94,14 +167,25 @@ def trace(
             emit_hit[:, None], state.throughput * sc.emitted, 0.0
         )
 
+        diffuse_hit = state.alive & hits.hit & (
+            scene.mat_type[hits.prim_idx] == LAMBERTIAN)
+        if nee:
+            radiance = radiance + _nee_contribution(
+                scene, hits, hits.normal, state.throughput, diffuse_hit,
+                uniforms, t_min, intersector)
+
         continues = state.alive & hits.hit & sc.ok
         throughput = jnp.where(
             continues[:, None], state.throughput * sc.attenuation, state.throughput
         )
         origin = jnp.where(continues[:, None], hits.point, state.origin)
         direction = jnp.where(continues[:, None], sc.direction, state.direction)
+        # After a diffuse bounce with NEE, the next emitter hit is already
+        # accounted for by the shadow ray — suppress it (no double counting).
+        emit_ok = ~diffuse_hit if nee else true_mask
 
-        return RayState(origin, direction, throughput, radiance, continues), None
+        return RayState(origin, direction, throughput, radiance, continues,
+                        emit_ok), None
 
     state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth), unroll=1)
     return state.radiance

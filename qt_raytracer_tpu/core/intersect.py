@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from . import vecmath as vm
@@ -51,9 +52,13 @@ def sphere_hit_ts(scene: SphereScene, origins, directions, t_min, t_max):
 
     a = vm.length_squared(d)[:, None]                       # [N,1]
     o_dot_d = vm.dot(o, d)[:, None]                         # [N,1]
-    # MXU: [N,3] @ [3,S]
-    d_dot_c = d @ c.T                                       # [N,S]
-    o_dot_c = o @ c.T                                       # [N,S]
+    # MXU: [N,3] @ [3,S]. Precision MUST be HIGHEST: TPU f32 matmuls default
+    # to 3-pass bf16 MXU decomposition, whose error is large enough to
+    # produce phantom hits on small spheres (observed ~10% wrong closest-hit
+    # on the 480-sphere scene with default precision).
+    hi = jax.lax.Precision.HIGHEST
+    d_dot_c = jnp.matmul(d, c.T, precision=hi)              # [N,S]
+    o_dot_c = jnp.matmul(o, c.T, precision=hi)              # [N,S]
     half_b = o_dot_d - d_dot_c                              # [N,S]
     cterm = (
         vm.length_squared(o)[:, None] - 2.0 * o_dot_c
@@ -75,18 +80,31 @@ def sphere_hit_ts(scene: SphereScene, origins, directions, t_min, t_max):
 
 
 def intersect_spheres(
-    scene: SphereScene, origins, directions, t_min, t_max=BIG
+    scene: SphereScene, origins, directions, t_min, t_max=BIG,
+    backend: str = "xla",
 ) -> Hits:
     """Closest-hit over all spheres — HitableList::hit (RayTracer.h:339-353)
     as a vectorized argmin instead of a serial shrinking scan.
+
+    backend: "xla" (portable [N,S] search), "pallas" (fused VMEM kernel,
+    TPU), or "pallas_interpret" (kernel in interpreter mode, for CPU tests).
+    The Pallas search returns detached outputs; gradients always flow through
+    the refinement recompute below.
 
     Tie-breaking: equal-t ties resolve to the lowest sphere index (the
     reference's serial scan resolves to the highest); ties are measure-zero
     and the oracle mirrors argmin semantics.
     """
-    ts = sphere_hit_ts(scene, origins, directions, t_min, t_max)  # [N,S]
-    prim_idx = jnp.argmin(ts, axis=1).astype(jnp.int32)           # [N]
-    t_coarse = jnp.take_along_axis(ts, prim_idx[:, None], axis=1)[:, 0]
+    if backend == "xla":
+        ts = sphere_hit_ts(scene, origins, directions, t_min, t_max)  # [N,S]
+        prim_idx = jnp.argmin(ts, axis=1).astype(jnp.int32)           # [N]
+        t_coarse = jnp.take_along_axis(ts, prim_idx[:, None], axis=1)[:, 0]
+    else:
+        from ..kernels.sphere_intersect import sphere_search_pallas
+
+        t_coarse, prim_idx = sphere_search_pallas(
+            scene, origins, directions, float(t_min),
+            interpret=(backend == "pallas_interpret"))
     hit = t_coarse < BIG
 
     # Precision refinement: the MXU expansion |o|^2 - 2 o.c + |c|^2 - r^2 is

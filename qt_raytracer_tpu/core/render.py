@@ -25,6 +25,15 @@ from .integrator import trace
 from .scene import SphereScene
 
 
+def resolve_intersector(cfg: RenderConfig) -> str:
+    """Map cfg.intersector "auto" to the platform default: the fused Pallas
+    search on TPU, the portable XLA search elsewhere."""
+    if cfg.intersector != "auto":
+        return cfg.intersector
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+
 def pixel_grid(cfg: RenderConfig, dtype=jnp.float32):
     """Flat per-pixel (i, j) viewport integer coordinates, image order.
 
@@ -52,7 +61,8 @@ def _sample_radiance(scene, camera, cfg: RenderConfig, pix_keys, i, j, sample_id
     s = (i + gen[:, 0]) * inv_w
     t = (j + gen[:, 1]) * inv_h
     origins, directions = cam_mod.get_rays(camera, s, t, gen[:, 2], gen[:, 3])
-    return trace(scene, origins, directions, samp_keys, cfg.max_depth, cfg.t_min)
+    return trace(scene, origins, directions, samp_keys, cfg.max_depth,
+                 cfg.t_min, intersector=resolve_intersector(cfg), nee=cfg.nee)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

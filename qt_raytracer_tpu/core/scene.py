@@ -46,10 +46,18 @@ class SphereScene:
     ior: jnp.ndarray       # [S]    f32 (dielectric)
     emission: jnp.ndarray  # [S, 3] f32 (emissive radiance)
     active: jnp.ndarray    # [S]    bool (False for padding slots)
+    light_idx: jnp.ndarray  # [L] i32 indices of emissive spheres ([-1] if none);
+    #                         static shape L = host-known light count, used by
+    #                         next-event estimation (integrator.py)
 
     @property
     def num_spheres(self) -> int:
         return self.center.shape[0]
+
+    @property
+    def max_lights(self) -> int:
+        """Static size of the light table (>=1; entries may be -1 sentinels)."""
+        return self.light_idx.shape[0]
 
 
 class SceneBuilder:
@@ -111,6 +119,10 @@ class SceneBuilder:
             active[i] = True
         # Park padding far away so degenerate zero-radius tangent hits are impossible.
         center[n:] = 1.0e9
+        # Static light table for NEE: indices of emissive spheres; [-1] when none.
+        lights = np.nonzero(mat_type == EMISSIVE)[0].astype(np.int32)
+        if lights.size == 0:
+            lights = np.array([-1], np.int32)
         return SphereScene(
             center=jnp.asarray(center, dtype),
             radius=jnp.asarray(radius, dtype),
@@ -120,4 +132,5 @@ class SceneBuilder:
             ior=jnp.asarray(ior, dtype),
             emission=jnp.asarray(emission, dtype),
             active=jnp.asarray(active),
+            light_idx=jnp.asarray(lights),
         )

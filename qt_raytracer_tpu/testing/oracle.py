@@ -130,12 +130,56 @@ def _sky(d):
 
 
 # ----------------------------------------------------------------- transport
-def _trace_one(scene, o, d, bounce_u, max_depth, t_min):
+def _onb(w):
+    """Branchless ONB (Duff et al.) — mirrors integrator._onb exactly."""
+    sign = 1.0 if w[2] >= 0.0 else -1.0
+    a = -1.0 / (sign + w[2])
+    b = w[0] * w[1] * a
+    t1 = np.array([1.0 + sign * w[0] * w[0] * a, sign * b, -sign * w[0]])
+    t2 = np.array([b, sign + w[1] * w[1] * a, -w[1]])
+    return t1, t2
+
+
+def _nee_once(scene, p, normal, throughput, u, t_min, lights, hit_albedo):
+    """Mirror of integrator._nee_contribution for one diffuse hit."""
+    n_lights = len(lights)
+    pick = min(int(u[4] * n_lights), n_lights - 1)
+    light = lights[pick]
+    if light < 0:
+        return np.zeros(3)
+    lc = scene["center"][light]
+    lr = scene["radius"][light]
+    le = scene["emission"][light]
+    to_l = lc - p
+    dist2 = np.dot(to_l, to_l)
+    if dist2 <= lr * lr * 1.0001:
+        return np.zeros(3)
+    sin2_max = min(1.0, lr * lr / dist2)
+    cos_max = np.sqrt(max(0.0, 1.0 - sin2_max))
+    w = to_l / np.sqrt(dist2)
+    cos_s = 1.0 - u[5] * (1.0 - cos_max)
+    sin_s = np.sqrt(max(0.0, 1.0 - cos_s * cos_s))
+    phi = TWO_PI * u[6]
+    t1, t2 = _onb(w)
+    ldir = sin_s * np.cos(phi) * t1 + sin_s * np.sin(phi) * t2 + cos_s * w
+    cos_surf = np.dot(normal, ldir)
+    if cos_surf <= 0.0:
+        return np.zeros(3)
+    t, si = _hit_scene(scene, p, ldir, t_min)
+    if si != light:
+        return np.zeros(3)
+    weight = 2.0 * (1.0 - cos_max) * n_lights
+    return throughput * hit_albedo * cos_surf * weight * le
+
+
+def _trace_one(scene, o, d, bounce_u, max_depth, t_min, nee=False, lights=None):
     throughput = np.ones(3)
+    radiance = np.zeros(3)
+    emit_ok = True
     for b in range(max_depth):
         t, si = _hit_scene(scene, o, d, t_min)
         if si < 0:
-            return throughput * _sky(d)
+            return radiance + throughput * _sky(d)
         p = o + t * d
         outward = (p - scene["center"][si]) / scene["radius"][si]
         front_face = np.dot(d, outward) < 0.0
@@ -144,18 +188,24 @@ def _trace_one(scene, o, d, bounce_u, max_depth, t_min):
         mat = scene["mat_type"][si]
 
         if mat == LAMBERTIAN:
+            if nee:
+                radiance = radiance + _nee_once(scene, p, normal, throughput,
+                                                u, t_min, lights,
+                                                scene["albedo"][si])
             nd = normal + _unit_vector_sample(u[0], u[1])
             if np.dot(nd, nd) < 1e-8:
                 nd = normal
             throughput = throughput * scene["albedo"][si]
             o, d = p, nd
+            emit_ok = not nee
         elif mat == METAL:
             refl = _reflect(_unit(d), normal)
             nd = refl + scene["fuzz"][si] * _in_unit_sphere_sample(u[0], u[1], u[2])
             if np.dot(nd, normal) <= 0.0:
-                return np.zeros(3)  # absorbed (RayTracer.h:498)
+                return radiance  # absorbed (RayTracer.h:498)
             throughput = throughput * scene["albedo"][si]
             o, d = p, nd
+            emit_ok = True
         elif mat == DIELECTRIC:
             ior = scene["ior"][si]
             ratio = (1.0 / ior) if front_face else ior
@@ -168,11 +218,14 @@ def _trace_one(scene, o, d, bounce_u, max_depth, t_min):
             else:
                 nd = _refract(ud, normal, ratio)
             o, d = p, nd
+            emit_ok = True
         elif mat == EMISSIVE:
-            return throughput * scene["emission"][si]
+            if emit_ok:
+                radiance = radiance + throughput * scene["emission"][si]
+            return radiance
         else:
             raise ValueError(f"bad material tag {mat}")
-    return np.zeros(3)  # depth exhausted -> black (RayTracer.h:582)
+    return radiance  # depth exhausted (RayTracer.h:582)
 
 
 def camera_to_np(camera) -> dict:
@@ -192,6 +245,7 @@ def render_oracle_linear(scene, camera, cfg: RenderConfig, key) -> np.ndarray:
     comparable to render_linear()."""
     sc = scene_to_np(scene)
     cam = camera_to_np(camera)
+    lights = np.asarray(scene.light_idx, np.int64)
     gen_u, bounce_u = extract_uniforms(key, cfg)
 
     h, w = cfg.height, cfg.width
@@ -213,6 +267,6 @@ def render_oracle_linear(scene, camera, cfg: RenderConfig, key) -> np.ndarray:
                 d = (cam["lower_left_corner"] + u_coord * cam["horizontal"]
                      + v_coord * cam["vertical"] - cam["origin"] - offset)
                 acc += _trace_one(sc, o, d, bounce_u[s, pix], cfg.max_depth,
-                                  cfg.t_min)
+                                  cfg.t_min, nee=cfg.nee, lights=lights)
             out[py, px] = acc
     return out

@@ -60,6 +60,41 @@ def test_cornell_emissive_matches_oracle():
              atol=4e-3, rtol=4e-3)
 
 
+def test_cornell_nee_matches_oracle():
+    # NEE path: cone light sampling + shadow rays + emitter-hit suppression,
+    # all mirrored scalar-exactly by the oracle.
+    _compare("cornell", RenderConfig(width=12, height=12, spp=2, max_depth=5,
+                                     nee=True),
+             atol=4e-3, rtol=4e-3, max_mismatch=0.01)
+
+
+def test_nee_is_unbiased_and_lower_variance():
+    # Same scene, NEE on vs off: means agree (unbiased), per-pixel variance
+    # collapses (that is the point of NEE). The camera is aimed so the light
+    # sphere is OUT of frame — direct-visible-light pixels are identical in
+    # both estimators but their hit-or-miss jitter noise would swamp the MSE
+    # comparison at this resolution.
+    from qt_raytracer_tpu.core.camera import make_camera
+    scene, _ = scenes.get_scene("cornell", 1.0, pad_to=None)
+    cam = make_camera((0.0, 0.7, 4.0), (0.0, 0.6, 0.0), vfov=22.0,
+                      aspect_ratio=1.0, aperture=0.0, focus_dist=4.0)
+    key = jax.random.PRNGKey(3)
+    base = dict(width=8, height=8, max_depth=5, samples_per_batch=8)
+    img_off = np.asarray(render_linear(
+        scene, cam, RenderConfig(spp=512, **base), key)) / 512
+    img_on = np.asarray(render_linear(
+        scene, cam, RenderConfig(spp=64, nee=True, **base), key)) / 64
+    # Unbiased: means of the two estimators agree within MC noise.
+    assert np.abs(img_on.mean() - img_off.mean()) / img_off.mean() < 0.15
+    # Variance: compare per-pixel deviation from a high-spp NEE reference.
+    ref = np.asarray(render_linear(
+        scene, cam, RenderConfig(spp=512, nee=True, **base),
+        jax.random.PRNGKey(7))) / 512
+    err_off = np.mean((img_off - ref) ** 2)
+    err_on = np.mean((img_on - ref) ** 2)
+    assert err_on < err_off, (err_on, err_off)  # 8x fewer spp, still better
+
+
 def test_random_scene_small_matches_oracle():
     # Book-cover scene (RayTracer.h:599-643): all three materials at once.
     cfg = RenderConfig(width=12, height=8, spp=1, max_depth=4)
