@@ -47,6 +47,11 @@ class RenderConfig:
     # give XLA bigger fused batches (better MXU/VPU occupancy on small images)
     # at the cost of 'samples_per_batch' times the ray-state memory.
     samples_per_batch: int = 1
+    # RNG: "threefry" (jax counter-based, gold standard) or "hash"
+    # (lowbias32 counter hash, ~20x cheaper per bounce on TPU, same
+    # shard-invariance; quality validated by tests). Both are deterministic
+    # functions of (key, pixel, sample, bounce, slot).
+    rng: str = "threefry"
     # Next-event estimation: sample emissive spheres directly at diffuse hits
     # (shadow-ray wavefront per bounce). Unbiased; essential for enclosed
     # emissive scenes (BASELINE config 2 Cornell box). Default off to match
@@ -70,6 +75,8 @@ class RenderConfig:
             raise ValueError(f"quantizer must be 'cpu' or 'gpu', got {self.quantizer!r}")
         if self.intersector not in ("auto", "xla", "pallas", "pallas_interpret"):
             raise ValueError(f"unknown intersector {self.intersector!r}")
+        if self.rng not in ("threefry", "hash"):
+            raise ValueError(f"unknown rng {self.rng!r}")
         if self.spp % self.samples_per_batch != 0:
             # round batch down to a divisor of spp so the scan is exact
             spb = self.samples_per_batch

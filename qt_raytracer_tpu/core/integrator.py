@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from . import materials, sampling, vecmath as vm
-from .intersect import intersect_spheres
+from .intersect import intersect_spheres, packed_param_table
 from .scene import LAMBERTIAN, SphereScene
 
 
@@ -70,9 +70,9 @@ def _nee_contribution(scene: SphereScene, hits, normal, throughput,
     light = scene.light_idx[pick]                        # [N] (-1 = no light)
     has_light = light >= 0
     light_safe = jnp.maximum(light, 0)
-    lc = scene.center[light_safe]
-    lr = scene.radius[light_safe]
-    le = scene.emission[light_safe]
+    # One packed row-gather for all light params (same economics as Hits).
+    lp = packed_param_table(scene)[light_safe]
+    lc, lr, le = lp[:, 0:3], lp[:, 3], lp[:, 10:13]
 
     p = hits.point
     to_l = lc - p
@@ -95,9 +95,8 @@ def _nee_contribution(scene: SphereScene, hits, normal, throughput,
     shadow = intersect_spheres(scene, p, ldir, t_min, backend=intersector)
     lit = cand & shadow.hit & (shadow.prim_idx == light_safe)
 
-    albedo = scene.albedo[hits.prim_idx]
     weight = 2.0 * (1.0 - cos_max) * n_lights            # 2pi/pdf_norm / pi
-    contrib = throughput * albedo * (cos_surf * weight)[:, None] * le
+    contrib = throughput * hits.albedo * (cos_surf * weight)[:, None] * le
     return jnp.where(lit[:, None], contrib, 0.0)
 
 
@@ -153,8 +152,8 @@ def trace(
             sampling.UNIFORMS_PER_BOUNCE,
         )
         sc = materials.scatter(
-            scene, hits.prim_idx, state.direction, hits.normal,
-            hits.front_face, uniforms,
+            hits.mat_type, hits.albedo, hits.fuzz, hits.ior, hits.emission,
+            state.direction, hits.normal, hits.front_face, uniforms,
         )
 
         miss = state.alive & ~hits.hit
@@ -167,8 +166,7 @@ def trace(
             emit_hit[:, None], state.throughput * sc.emitted, 0.0
         )
 
-        diffuse_hit = state.alive & hits.hit & (
-            scene.mat_type[hits.prim_idx] == LAMBERTIAN)
+        diffuse_hit = state.alive & hits.hit & (hits.mat_type == LAMBERTIAN)
         if nee:
             radiance = radiance + _nee_contribution(
                 scene, hits, hits.normal, state.throughput, diffuse_hit,

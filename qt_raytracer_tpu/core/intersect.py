@@ -30,7 +30,13 @@ BIG = jnp.float32(3.0e38)  # stand-in for +inf that survives arithmetic
 
 
 class Hits(NamedTuple):
-    """SoA hit record batch — TPU analog of HitRecord (RayTracer.h:208-219)."""
+    """SoA hit record batch — TPU analog of HitRecord (RayTracer.h:208-219).
+
+    Material/geometry parameters of the winning primitive ride along
+    (mat_type..emission): random-access gathers cost ~2 ms per 256Ki rays on
+    v5e regardless of row width, so ONE packed [S,17] row-gather here replaces
+    seven scattered gathers across refinement, normals and material scatter.
+    """
 
     t: jnp.ndarray           # [N] hit distance (BIG when miss)
     prim_idx: jnp.ndarray    # [N] i32 index of nearest primitive (0 if miss)
@@ -38,6 +44,27 @@ class Hits(NamedTuple):
     point: jnp.ndarray       # [N,3] hit point
     normal: jnp.ndarray      # [N,3] forward-facing normal
     front_face: jnp.ndarray  # [N] bool (RayTracer.h:215-218 set_face_normal)
+    mat_type: jnp.ndarray    # [N] i32 material tag of winner
+    albedo: jnp.ndarray      # [N,3]
+    fuzz: jnp.ndarray        # [N]
+    ior: jnp.ndarray         # [N]
+    emission: jnp.ndarray    # [N,3]
+
+
+def packed_param_table(scene: SphereScene) -> jnp.ndarray:
+    """[S,16] row-table: cx cy cz r | ax ay az fuzz | ior mat ex ey | ez pad.
+    Built fresh per call — tiny, constant-folded under jit."""
+    s = scene.num_spheres
+    return jnp.concatenate([
+        scene.center,                             # 0,1,2
+        scene.radius[:, None],                    # 3
+        scene.albedo,                             # 4,5,6
+        scene.fuzz[:, None],                      # 7
+        scene.ior[:, None],                       # 8
+        scene.mat_type[:, None].astype(jnp.float32),  # 9
+        scene.emission,                           # 10,11,12
+        jnp.zeros((s, 3), jnp.float32),           # pad to 16
+    ], axis=1)
 
 
 def sphere_hit_ts(scene: SphereScene, origins, directions, t_min, t_max):
@@ -107,14 +134,17 @@ def intersect_spheres(
             interpret=(backend == "pallas_interpret"))
     hit = t_coarse < BIG
 
+    # ONE packed row-gather for everything the caller needs about the winner
+    # (see packed_param_table docstring for the economics).
+    params = packed_param_table(scene)[prim_idx]                  # [N,16]
+    c_sel = params[:, 0:3]
+    r_sel = params[:, 3]
+
     # Precision refinement: the MXU expansion |o|^2 - 2 o.c + |c|^2 - r^2 is
     # ill-conditioned in f32 for large spheres (catastrophic cancellation at
     # |c| ~ 1e3). Recompute the winning sphere's roots with the
     # well-conditioned oc = o - c form (exactly Sphere::hit,
-    # RayTracer.h:289-305) — an O(N) gather, negligible next to the O(N*S)
-    # search.
-    c_sel = scene.center[prim_idx]
-    r_sel = scene.radius[prim_idx]
+    # RayTracer.h:289-305) — O(N), negligible next to the O(N*S) search.
     oc = origins - c_sel
     a1 = vm.length_squared(directions)
     half_b1 = vm.dot(oc, directions)
@@ -134,12 +164,13 @@ def intersect_spheres(
     # they are meaningless (and fully masked) on miss lanes anyway.
     t_safe = jnp.where(hit, t, 1.0)
     point = origins + t_safe[:, None] * directions
-    center = scene.center[prim_idx]                               # [N,3] gather
-    radius = scene.radius[prim_idx]                               # [N]
     # Outward normal (p - c)/r (RayTracer.h:309); guard r=0 padding slots.
-    outward = (point - center) / jnp.where(radius == 0.0, 1.0, radius)[:, None]
+    outward = (point - c_sel) / jnp.where(r_sel == 0.0, 1.0, r_sel)[:, None]
     front_face = vm.dot(directions, outward) < 0.0
     normal = jnp.where(front_face[:, None], outward, -outward)
 
     return Hits(t=t, prim_idx=prim_idx, hit=hit, point=point,
-                normal=normal, front_face=front_face)
+                normal=normal, front_face=front_face,
+                mat_type=params[:, 9].astype(jnp.int32),
+                albedo=params[:, 4:7], fuzz=params[:, 7], ior=params[:, 8],
+                emission=params[:, 10:13])

@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from . import sampling, vecmath as vm
-from .scene import DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL, SphereScene
+from .scene import DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL
 
 
 class Scatter(NamedTuple):
@@ -27,20 +27,19 @@ class Scatter(NamedTuple):
 
 
 def scatter(
-    scene: SphereScene,
-    prim_idx: jnp.ndarray,
+    mat_type: jnp.ndarray,
+    albedo: jnp.ndarray,
+    fuzz: jnp.ndarray,
+    ior: jnp.ndarray,
+    emission: jnp.ndarray,
     in_dir: jnp.ndarray,
     normal: jnp.ndarray,
     front_face: jnp.ndarray,
     uniforms: jnp.ndarray,
 ) -> Scatter:
-    """Batched scatter for all rays. uniforms: [N, 8] per-bounce block."""
-    mat_type = scene.mat_type[prim_idx]
-    albedo = scene.albedo[prim_idx]
-    fuzz = scene.fuzz[prim_idx]
-    ior = scene.ior[prim_idx]
-    emission = scene.emission[prim_idx]
-
+    """Batched scatter for all rays, on pre-gathered per-ray material params
+    (Hits.mat_type..emission — one packed gather in intersect_spheres, since
+    per-field gathers dominate bounce cost on TPU). uniforms: [N, 8] block."""
     u0, u1, u2, u3 = (uniforms[:, i] for i in range(4))
     unit_in = vm.safe_unit_vector(in_dir)
 

@@ -75,7 +75,7 @@ def render_linear(
     un-normalized sum makes progressive accumulation and cross-chip psum exact.
     """
     i, j, pixel_index = pixel_grid(cfg)
-    pix_keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(pixel_index)
+    pix_keys = sampling.pixel_states(key, pixel_index, cfg.rng)
 
     spb = cfg.samples_per_batch
     num_batches = cfg.spp // spb
@@ -124,7 +124,7 @@ def render_sample_batch(
     building block (1-spp-per-frame accumulation of the GPU backends,
     GpuPathTracer.cpp:279-282, generalized to any batch size)."""
     i, j, pixel_index = pixel_grid(cfg)
-    pix_keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(pixel_index)
+    pix_keys = sampling.pixel_states(key, pixel_index, cfg.rng)
 
     def one_sample(acc, k):
         return acc + _sample_radiance(scene, camera, cfg, pix_keys, i, j,

@@ -76,12 +76,70 @@ def pixel_keys(base_key: jax.Array, num_pixels: int) -> jax.Array:
 
 
 def sample_keys(pix_keys: jax.Array, sample_index) -> jax.Array:
-    """Per-pixel key for one sample index (traced int OK inside scan)."""
+    """Per-pixel state for one sample index (traced int OK inside scan).
+
+    Dtype dispatch: uint32 states take the hash path, threefry keys the
+    fold_in path — downstream code is RNG-agnostic.
+    """
+    if _is_hash_state(pix_keys):
+        return _lowbias32(pix_keys ^ jnp.uint32(sample_index) * GOLDEN)
     return jax.vmap(lambda k: jax.random.fold_in(k, sample_index))(pix_keys)
 
 
 def stream_uniforms(samp_keys: jax.Array, stream_id, n: int) -> jax.Array:
-    """[N, n] uniforms for a given stream id of each sample key."""
+    """[N, n] uniforms for a given stream id of each sample state."""
+    if _is_hash_state(samp_keys):
+        counters = (samp_keys[:, None]
+                    + jnp.uint32(stream_id) * GOLDEN
+                    + jnp.arange(n, dtype=jnp.uint32)[None, :] * WEYL2)
+        bits = _lowbias32(_lowbias32(counters) + GOLDEN)
+        return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0 ** -24)
     def one(k):
         return jax.random.uniform(jax.random.fold_in(k, stream_id), (n,))
     return jax.vmap(one)(samp_keys)
+
+
+# ------------------------------------------------- counter-based hash RNG
+# A pure-VPU alternative to threefry: ~20x cheaper per bounce on TPU while
+# keeping the same counter-based hierarchy (and therefore the same shard /
+# mesh invariance). Far stronger than the reference GPU kernels' single-pass
+# hash32 (GpuPathTracer.cpp:151-162); statistical quality is validated in
+# tests (uniformity + stream decorrelation).
+GOLDEN = jnp.uint32(0x9E3779B9)   # 2^32 / phi (Weyl increment)
+WEYL2 = jnp.uint32(0x85EBCA77)
+
+
+def _is_hash_state(x) -> bool:
+    # Hash states are flat [N] uint32; legacy threefry keys are [N, 2] uint32
+    # and typed keys have a key dtype — ndim disambiguates.
+    return (hasattr(x, "dtype") and x.dtype == jnp.uint32
+            and x.ndim == 1)
+
+
+def _lowbias32(x):
+    """Wellons' lowbias32 integer permutation (public domain constants)."""
+    x = jnp.asarray(x, jnp.uint32)
+    x ^= x >> jnp.uint32(16)
+    x *= jnp.uint32(0x7FEB352D)
+    x ^= x >> jnp.uint32(15)
+    x *= jnp.uint32(0x846CA68B)
+    x ^= x >> jnp.uint32(16)
+    return x
+
+
+def hash_pixel_states(base_key: jax.Array, pixel_index: jax.Array) -> jax.Array:
+    """[N] uint32 per-pixel hash states from a threefry base key + indices."""
+    data = jax.random.key_data(base_key).astype(jnp.uint32).reshape(-1)
+    seed = data[0] ^ _lowbias32(data[-1])
+    return _lowbias32(pixel_index.astype(jnp.uint32) * GOLDEN + _lowbias32(seed))
+
+
+def pixel_states(base_key: jax.Array, pixel_index: jax.Array,
+                 rng: str = "threefry") -> jax.Array:
+    """Per-pixel RNG states for explicit pixel indices [N]."""
+    if rng == "hash":
+        return hash_pixel_states(base_key, pixel_index)
+    if rng != "threefry":
+        raise ValueError(f"unknown rng {rng!r}")
+    return jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+        pixel_index.astype(jnp.uint32))

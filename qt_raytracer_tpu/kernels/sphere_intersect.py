@@ -110,6 +110,13 @@ def sphere_search_pallas(scene: SphereScene, origins, directions,
     Outputs are detached (stop_gradient) — differentiable quantities must be
     re-derived from idx by the caller.
     """
+    # Fully detach the search: inputs carry no tangents (else JAX tries to
+    # differentiate the pallas_call itself), outputs carry none either. The
+    # caller re-derives every differentiable quantity from idx.
+    origins = jax.lax.stop_gradient(origins)
+    directions = jax.lax.stop_gradient(directions)
+    scene = jax.lax.stop_gradient(scene)
+
     n = origins.shape[0]
     tile = SUBLANE * RAY_BLOCK  # 1024 rays per grid step
     n_pad = max(-(-n // tile) * tile, tile)

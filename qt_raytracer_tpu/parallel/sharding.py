@@ -74,7 +74,7 @@ def render_linear_sharded(
     j = (h - 1) - py
 
     def shard_fn(pixel_index, i, j, scene, camera, key):
-        pix_keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(pixel_index)
+        pix_keys = sampling.pixel_states(key, pixel_index, cfg.rng)
         sp_idx = jax.lax.axis_index("sp")
 
         def one_sample(acc, k):

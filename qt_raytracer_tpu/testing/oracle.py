@@ -36,7 +36,9 @@ def extract_uniforms(key, cfg: RenderConfig):
     bitwise equal (as f32) to what the renderer consumes.
     """
     n = cfg.num_pixels
-    pix_keys = sampling.pixel_keys(key, n)
+    import jax.numpy as jnp
+    pix_keys = sampling.pixel_states(key, jnp.arange(n, dtype=jnp.uint32),
+                                     cfg.rng)
     gen_all = []
     bounce_all = []
     for s in range(cfg.spp):

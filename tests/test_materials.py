@@ -19,8 +19,9 @@ def _scatter_single(builder, in_dir, normal=(0.0, 0.0, 1.0), front_face=True,
     else:
         uniforms = jnp.asarray([uniforms], jnp.float32)
     ff = jnp.asarray([front_face])
-    idx = jnp.zeros((1,), jnp.int32)
-    return materials.scatter(scene, idx, d, n, ff, uniforms)
+    return materials.scatter(
+        scene.mat_type[:1], scene.albedo[:1], scene.fuzz[:1], scene.ior[:1],
+        scene.emission[:1], d, n, ff, uniforms)
 
 
 def test_lambertian_albedo_passthrough_and_nonzero_dir():
