@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from . import materials, sampling, vecmath as vm
 from .intersect import intersect_spheres, packed_param_table
+from .world import World, as_world, intersect_world
 from .scene import LAMBERTIAN, SphereScene
 
 
@@ -50,7 +51,7 @@ def _onb(w):
     return t1, t2
 
 
-def _nee_contribution(scene: SphereScene, hits, normal, throughput,
+def _nee_contribution(world: World, hits, normal, throughput,
                       diffuse_mask, uniforms, t_min, intersector):
     """Next-event estimation: direct light via solid-angle (cone) sampling of
     a uniformly chosen emissive sphere, one shadow-ray wavefront.
@@ -63,6 +64,7 @@ def _nee_contribution(scene: SphereScene, hits, normal, throughput,
 
         L += T * albedo/pi * cos_surf * Le * 2*pi*(1-cos_max) * n_lights
     """
+    scene = world.spheres
     u4, u5, u6 = uniforms[:, 4], uniforms[:, 5], uniforms[:, 6]
     n_lights = scene.max_lights
 
@@ -92,7 +94,8 @@ def _nee_contribution(scene: SphereScene, hits, normal, throughput,
     cos_surf = vm.dot(normal, ldir)
     cand = diffuse_mask & has_light & outside & (cos_surf > 0.0)
 
-    shadow = intersect_spheres(scene, p, ldir, t_min, backend=intersector)
+    shadow = intersect_world(world, p, ldir, t_min, backend=intersector,
+                             alive=cand)
     lit = cand & shadow.hit & (shadow.prim_idx == light_safe)
 
     weight = 2.0 * (1.0 - cos_max) * n_lights            # 2pi/pdf_norm / pi
@@ -127,7 +130,10 @@ def trace(
     nee: enable next-event estimation (direct light sampling on diffuse hits
     plus emitter-hit suppression after diffuse bounces; unbiased, massively
     lower variance in enclosed emissive scenes like the Cornell box).
+
+    scene may be a SphereScene or a World (spheres + triangle mesh).
     """
+    world = as_world(scene)
     # Derive the initial carry from the ray inputs (origins * 0) rather than
     # fresh constants: under shard_map, constants are "unvarying" over mesh
     # axes while the loop output varies, and lax.scan requires carry types to
@@ -144,8 +150,9 @@ def trace(
     )
 
     def bounce(state: RayState, depth_idx):
-        hits = intersect_spheres(scene, state.origin, state.direction,
-                                 t_min, backend=intersector)
+        hits = intersect_world(world, state.origin, state.direction,
+                               t_min, backend=intersector,
+                               alive=state.alive)
 
         uniforms = sampling.stream_uniforms(
             sample_keys, sampling.STREAM_BOUNCE0 + depth_idx,
@@ -157,7 +164,11 @@ def trace(
         )
 
         miss = state.alive & ~hits.hit
-        emit_hit = state.alive & hits.hit & state.emit_ok
+        # NEE suppression applies only to sphere lights (the light table);
+        # emissive MESH hits are never NEE-sampled, so they must always count
+        # or their energy would be lost.
+        is_mesh_hit = hits.prim_idx >= world.spheres.num_spheres
+        emit_hit = state.alive & hits.hit & (state.emit_ok | is_mesh_hit)
         radiance = state.radiance
         radiance = radiance + jnp.where(
             miss[:, None], state.throughput * sky_color(state.direction), 0.0
@@ -169,7 +180,7 @@ def trace(
         diffuse_hit = state.alive & hits.hit & (hits.mat_type == LAMBERTIAN)
         if nee:
             radiance = radiance + _nee_contribution(
-                scene, hits, hits.normal, state.throughput, diffuse_hit,
+                world, hits, hits.normal, state.throughput, diffuse_hit,
                 uniforms, t_min, intersector)
 
         continues = state.alive & hits.hit & sc.ok

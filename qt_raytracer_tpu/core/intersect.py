@@ -108,7 +108,7 @@ def sphere_hit_ts(scene: SphereScene, origins, directions, t_min, t_max):
 
 def intersect_spheres(
     scene: SphereScene, origins, directions, t_min, t_max=BIG,
-    backend: str = "xla",
+    backend: str = "xla", alive=None,
 ) -> Hits:
     """Closest-hit over all spheres — HitableList::hit (RayTracer.h:339-353)
     as a vectorized argmin instead of a serial shrinking scan.
@@ -131,7 +131,7 @@ def intersect_spheres(
 
         t_coarse, prim_idx = sphere_search_pallas(
             scene, origins, directions, float(t_min),
-            interpret=(backend == "pallas_interpret"))
+            interpret=(backend == "pallas_interpret"), alive=alive)
     hit = t_coarse < BIG
 
     # ONE packed row-gather for everything the caller needs about the winner

@@ -115,7 +115,7 @@ def render(scene: SphereScene, camera, cfg: RenderConfig, key: jax.Array):
     return tonemap.to_uint8(accum, cfg.spp, cfg.quantizer)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "num_samples"))
 def render_sample_batch(
     scene: SphereScene, camera, cfg: RenderConfig, key: jax.Array,
     start_sample: jnp.ndarray, num_samples: int,

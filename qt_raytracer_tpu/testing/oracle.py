@@ -96,6 +96,32 @@ def _in_unit_disk_sample(u1, u2):
 
 
 # ------------------------------------------------------------------ geometry
+def _hit_mesh_brute(mesh, o, d, t_min, t_max):
+    """Scalar Möller-Trumbore scan over all triangles (mirrors accel/mesh)."""
+    best_t, best_i = np.inf, -1
+    v0s, e1s, e2s = mesh["v0"], mesh["e1"], mesh["e2"]
+    for fi in range(len(v0s)):
+        e1, e2 = e1s[fi], e2s[fi]
+        p = np.cross(d, e2)
+        det = np.dot(p, e1)
+        if abs(det) <= 1e-12:
+            continue
+        inv_det = 1.0 / det
+        s = o - v0s[fi]
+        u = np.dot(s, p) * inv_det
+        if u < 0.0:
+            continue
+        q = np.cross(s, e1)
+        v = np.dot(q, d) * inv_det
+        if v < 0.0 or u + v > 1.0:
+            continue
+        t = np.dot(q, e2) * inv_det
+        if t < t_min or t > t_max or t >= best_t:
+            continue
+        best_t, best_i = t, fi
+    return best_t, best_i
+
+
 def _hit_scene(scene, o, d, t_min):
     """Closest sphere hit; mirrors Sphere::hit + argmin tie-break."""
     centers = scene["center"]
@@ -142,7 +168,8 @@ def _onb(w):
     return t1, t2
 
 
-def _nee_once(scene, p, normal, throughput, u, t_min, lights, hit_albedo):
+def _nee_once(scene, p, normal, throughput, u, t_min, lights, hit_albedo,
+              mesh=None):
     """Mirror of integrator._nee_contribution for one diffuse hit."""
     n_lights = len(lights)
     pick = min(int(u[4] * n_lights), n_lights - 1)
@@ -170,47 +197,67 @@ def _nee_once(scene, p, normal, throughput, u, t_min, lights, hit_albedo):
     t, si = _hit_scene(scene, p, ldir, t_min)
     if si != light:
         return np.zeros(3)
+    if mesh is not None:
+        _, fi = _hit_mesh_brute(mesh, p, ldir, t_min, t)
+        if fi >= 0:
+            return np.zeros(3)  # mesh occludes the light
     weight = 2.0 * (1.0 - cos_max) * n_lights
     return throughput * hit_albedo * cos_surf * weight * le
 
 
-def _trace_one(scene, o, d, bounce_u, max_depth, t_min, nee=False, lights=None):
+def _trace_one(scene, o, d, bounce_u, max_depth, t_min, nee=False,
+               lights=None, mesh=None):
     throughput = np.ones(3)
     radiance = np.zeros(3)
     emit_ok = True
     for b in range(max_depth):
         t, si = _hit_scene(scene, o, d, t_min)
-        if si < 0:
+        mesh_won = False
+        if mesh is not None:
+            tm, fi = _hit_mesh_brute(mesh, o, d, t_min,
+                                     t if si >= 0 else np.inf)
+            if fi >= 0 and tm < (t if si >= 0 else np.inf):
+                t, mesh_won = tm, True
+        if si < 0 and not mesh_won:
             return radiance + throughput * _sky(d)
         p = o + t * d
-        outward = (p - scene["center"][si]) / scene["radius"][si]
-        front_face = np.dot(d, outward) < 0.0
-        normal = outward if front_face else -outward
+        if mesh_won:
+            gn = mesh["geom_normal"][fi]
+            front_face = np.dot(d, gn) < 0.0
+            normal = gn if front_face else -gn
+            mat = int(mesh["mat_type"])
+            albedo, fuzz = mesh["albedo"], mesh["fuzz"]
+            ior_v, emission = mesh["ior"], mesh["emission"]
+        else:
+            outward = (p - scene["center"][si]) / scene["radius"][si]
+            front_face = np.dot(d, outward) < 0.0
+            normal = outward if front_face else -outward
+            mat = scene["mat_type"][si]
+            albedo, fuzz = scene["albedo"][si], scene["fuzz"][si]
+            ior_v, emission = scene["ior"][si], scene["emission"][si]
         u = bounce_u[b]
-        mat = scene["mat_type"][si]
 
         if mat == LAMBERTIAN:
             if nee:
                 radiance = radiance + _nee_once(scene, p, normal, throughput,
-                                                u, t_min, lights,
-                                                scene["albedo"][si])
+                                                u, t_min, lights, albedo,
+                                                mesh=mesh)
             nd = normal + _unit_vector_sample(u[0], u[1])
             if np.dot(nd, nd) < 1e-8:
                 nd = normal
-            throughput = throughput * scene["albedo"][si]
+            throughput = throughput * albedo
             o, d = p, nd
             emit_ok = not nee
         elif mat == METAL:
             refl = _reflect(_unit(d), normal)
-            nd = refl + scene["fuzz"][si] * _in_unit_sphere_sample(u[0], u[1], u[2])
+            nd = refl + fuzz * _in_unit_sphere_sample(u[0], u[1], u[2])
             if np.dot(nd, normal) <= 0.0:
                 return radiance  # absorbed (RayTracer.h:498)
-            throughput = throughput * scene["albedo"][si]
+            throughput = throughput * albedo
             o, d = p, nd
             emit_ok = True
         elif mat == DIELECTRIC:
-            ior = scene["ior"][si]
-            ratio = (1.0 / ior) if front_face else ior
+            ratio = (1.0 / ior_v) if front_face else ior_v
             ud = _unit(d)
             cos_theta = min(np.dot(-ud, normal), 1.0)
             sin_theta = np.sqrt(max(0.0, 1.0 - cos_theta * cos_theta))
@@ -222,8 +269,10 @@ def _trace_one(scene, o, d, bounce_u, max_depth, t_min, nee=False, lights=None):
             o, d = p, nd
             emit_ok = True
         elif mat == EMISSIVE:
-            if emit_ok:
-                radiance = radiance + throughput * scene["emission"][si]
+            # Mesh emitters always count (never NEE-sampled); sphere-light
+            # emitters obey emit_ok suppression.
+            if emit_ok or mesh_won:
+                radiance = radiance + throughput * emission
             return radiance
         else:
             raise ValueError(f"bad material tag {mat}")
@@ -242,9 +291,22 @@ def scene_to_np(scene) -> dict:
                       "emission", "active")}
 
 
+def mesh_to_np(mesh) -> dict:
+    out = {k: np.asarray(getattr(mesh, k), np.float64)
+           for k in ("v0", "e1", "e2", "geom_normal", "albedo", "fuzz", "ior",
+                     "emission")}
+    out["mat_type"] = int(mesh.mat_type)
+    return out
+
+
 def render_oracle_linear(scene, camera, cfg: RenderConfig, key) -> np.ndarray:
     """Sum of spp linear radiance samples, [H, W, 3] float64 — directly
-    comparable to render_linear()."""
+    comparable to render_linear(). scene: SphereScene or World."""
+    mesh = None
+    if hasattr(scene, "spheres"):  # World
+        if scene.mesh is not None:
+            mesh = mesh_to_np(scene.mesh)
+        scene = scene.spheres
     sc = scene_to_np(scene)
     cam = camera_to_np(camera)
     lights = np.asarray(scene.light_idx, np.int64)
@@ -269,6 +331,7 @@ def render_oracle_linear(scene, camera, cfg: RenderConfig, key) -> np.ndarray:
                 d = (cam["lower_left_corner"] + u_coord * cam["horizontal"]
                      + v_coord * cam["vertical"] - cam["origin"] - offset)
                 acc += _trace_one(sc, o, d, bounce_u[s, pix], cfg.max_depth,
-                                  cfg.t_min, nee=cfg.nee, lights=lights)
+                                  cfg.t_min, nee=cfg.nee, lights=lights,
+                                  mesh=mesh)
             out[py, px] = acc
     return out
