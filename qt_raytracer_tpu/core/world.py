@@ -66,7 +66,16 @@ def intersect_world(world: World, origins, directions, t_min,
     if mesh is None:
         return hs
 
-    th = intersect_mesh(mesh, origins, directions, t_min, alive=alive)
+    if backend in ("pallas", "pallas_interpret"):
+        from ..kernels.mesh_intersect import mesh_search_pallas
+
+        t_m, idx_m = mesh_search_pallas(
+            mesh, origins, directions, float(t_min),
+            interpret=(backend == "pallas_interpret"), alive=alive)
+        from ..accel.mesh import TriHit
+        th = TriHit(t=t_m, tri_idx=idx_m, hit=t_m < BIG)
+    else:
+        th = intersect_mesh(mesh, origins, directions, t_min, alive=alive)
     # Differentiable recompute of the winner's t (traversal is detached).
     t_d, ok_d = _tri_t_diff(mesh, th.tri_idx, origins, directions, t_min, BIG)
     t_tri = jnp.where(th.hit & ok_d, t_d, jax.lax.stop_gradient(th.t))
