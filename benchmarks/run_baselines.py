@@ -1,0 +1,158 @@
+"""The five BASELINE.json benchmark configs as one reproducible script.
+
+Each config prints one JSON line (same schema as bench.py). Run:
+    python benchmarks/run_baselines.py            # all configs on default device
+    python benchmarks/run_baselines.py --configs 1 4
+    python benchmarks/run_baselines.py --scale 0.25   # shrink resolutions (CI)
+
+Configs (BASELINE.md):
+  1. three-sphere + ground diffuse, 256x256, 16 spp, fixed seed
+     (also validates forward image vs the float64 oracle at reduced size)
+  2. Cornell box + emissive light + NEE, 512x512, 64 spp
+  3. glossy/dielectric + depth-of-field, 512x512, 24 spp
+  4. ~100k-triangle terrain mesh with BVH clusters, 1920x1080, 1 spp
+  5. inverse rendering: recover a perturbed albedo by gradient descent on a
+     sharded multi-step loop (single-host variant; multi-host via
+     parallel.distributed)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def _bench_render(name, scene, cam, cfg, iters=3):
+    from qt_raytracer_tpu.core.render import render_linear
+
+    key = jax.random.PRNGKey(0)
+    out = render_linear(scene, cam, cfg, key)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for it in range(iters):
+        out = render_linear(scene, cam, cfg, jax.random.fold_in(key, it))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    ms = cfg.width * cfg.height * cfg.spp / dt / 1e6
+    print(json.dumps({
+        "config": name, "width": cfg.width, "height": cfg.height,
+        "spp": cfg.spp, "depth": cfg.max_depth, "nee": cfg.nee,
+        "elapsed_s": round(dt, 4), "msamples_per_s": round(ms, 3),
+        "backend": jax.default_backend(),
+    }))
+    return out
+
+
+def config1(scale):
+    from qt_raytracer_tpu import RenderConfig
+    from qt_raytracer_tpu.models import scenes
+
+    side = max(int(256 * scale), 16)
+    cfg = RenderConfig(width=side, height=side, spp=16, max_depth=10,
+                       rng="hash")
+    scene, cam = scenes.get_scene("three_sphere", 1.0)
+    _bench_render("1_three_sphere_diffuse", scene, cam, cfg)
+
+    # Oracle validation at tiny size (the full-size check is O(minutes) in
+    # scalar python; tests/ cover it exhaustively at small sizes).
+    from qt_raytracer_tpu.core.render import render_linear
+    from qt_raytracer_tpu.testing import oracle
+    vcfg = RenderConfig(width=16, height=16, spp=2, max_depth=4, rng="hash")
+    key = jax.random.PRNGKey(0)
+    got = np.asarray(render_linear(scene, cam, vcfg, key), np.float64) / 2
+    want = oracle.render_oracle_linear(scene, cam, vcfg, key) / 2
+    ok = bool(np.allclose(got, want, atol=2e-3, rtol=2e-3))
+    print(json.dumps({"config": "1_oracle_allclose", "passed": ok}))
+
+
+def config2(scale):
+    from qt_raytracer_tpu import RenderConfig
+    from qt_raytracer_tpu.models import scenes
+
+    side = max(int(512 * scale), 16)
+    cfg = RenderConfig(width=side, height=side, spp=64, max_depth=10,
+                       nee=True, rng="hash", samples_per_batch=4)
+    scene, cam = scenes.get_scene("cornell", 1.0)
+    _bench_render("2_cornell_nee", scene, cam, cfg)
+
+
+def config3(scale):
+    from qt_raytracer_tpu import RenderConfig
+    from qt_raytracer_tpu.models import scenes
+
+    side = max(int(512 * scale), 16)
+    cfg = RenderConfig(width=side, height=side, spp=24, max_depth=10,
+                       rng="hash", samples_per_batch=4)
+    scene, cam = scenes.get_scene("glossy_dof", 1.0)
+    _bench_render("3_glossy_dof", scene, cam, cfg)
+
+
+def config4(scale):
+    from qt_raytracer_tpu import RenderConfig
+    from qt_raytracer_tpu.models import meshes
+
+    w, h = max(int(1920 * scale), 64), max(int(1080 * scale), 36)
+    cfg = RenderConfig(width=w, height=h, spp=1, max_depth=5, rng="hash")
+    world = meshes.terrain_world()
+    cam = meshes.terrain_camera(cfg.aspect_ratio)
+    _bench_render("4_terrain_100k_tris", world, cam, cfg)
+
+
+def config5(scale):
+    import optax
+
+    from qt_raytracer_tpu import RenderConfig
+    from qt_raytracer_tpu.diff.inverse import make_train_step, mean_image
+    from qt_raytracer_tpu.models import scenes
+
+    import dataclasses as dc
+    import jax.numpy as jnp
+
+    side = max(int(128 * scale * 4), 32)
+    cfg = RenderConfig(width=side, height=side, spp=4, max_depth=4,
+                       rng="hash")
+    true_scene, cam = scenes.get_scene("three_sphere", 1.0)
+    key = jax.random.PRNGKey(7)
+    target = mean_image(true_scene, cam, cfg, key)
+    wrong = dc.replace(
+        true_scene,
+        albedo=true_scene.albedo.at[1].set(jnp.array([0.9, 0.1, 0.5])))
+    init_state, step_fn, _ = make_train_step(
+        wrong, cam, cfg, optax.adam(5e-2), trainable=("albedo",))
+    state = init_state()
+    state, _ = step_fn(state, target, key)  # compile
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    steps = 30
+    for it in range(steps):
+        state, loss = step_fn(state, target, jax.random.fold_in(key, it + 1))
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / steps
+    err = float(np.abs(np.asarray(state.params["scene"]["albedo"][1])
+                       - np.asarray(true_scene.albedo[1])).max())
+    print(json.dumps({
+        "config": "5_inverse_rendering", "width": cfg.width,
+        "step_s": round(dt, 4), "final_loss": round(float(loss), 6),
+        "albedo_max_err_after_30_steps": round(err, 4),
+        "backend": jax.default_backend(),
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", nargs="*", type=int,
+                    default=[1, 2, 3, 4, 5])
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="resolution scale factor (CI smoke: 0.1)")
+    args = ap.parse_args()
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    for c in args.configs:
+        fns[c](args.scale)
+
+
+if __name__ == "__main__":
+    main()

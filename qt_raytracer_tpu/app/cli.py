@@ -184,7 +184,8 @@ def build_parser() -> argparse.ArgumentParser:
         # Defaults = the reference QML panel (Main.qml:10-13).
         sp.add_argument("--scene", default="random",
                         choices=["three_sphere", "four_sphere_gpu", "random",
-                                 "glossy_dof", "cornell"])
+                                 "glossy_dof", "cornell", "terrain",
+                                 "icosphere"])
         sp.add_argument("--width", type=int, default=400)
         sp.add_argument("--height", type=int, default=225)
         sp.add_argument("--spp", type=int, default=24)

@@ -150,6 +150,16 @@ def cornell_box_camera(aspect_ratio: float) -> Camera:
     )
 
 
+def _terrain():
+    from . import meshes
+    return meshes.terrain_world, meshes.terrain_camera
+
+
+def _icosphere():
+    from . import meshes
+    return meshes.icosphere_world, meshes.icosphere_camera
+
+
 SCENES = {
     "three_sphere": (three_sphere_scene, three_sphere_camera),
     "four_sphere_gpu": (four_sphere_gpu_scene, four_sphere_gpu_camera),
@@ -158,10 +168,19 @@ SCENES = {
     "cornell": (cornell_box_spheres, cornell_box_camera),
 }
 
+# Mesh worlds (triangles + BVH; BASELINE config 4) — lazy to keep bare
+# sphere-scene imports light.
+MESH_SCENES = ("terrain", "icosphere")
+
 
 def get_scene(name: str, aspect_ratio: float, **kwargs):
     """Look up (scene, camera) by name; raises KeyError with choices."""
+    if name in MESH_SCENES:
+        build, cam = {"terrain": _terrain, "icosphere": _icosphere}[name]()
+        return build(**kwargs), cam(aspect_ratio)
     if name not in SCENES:
-        raise KeyError(f"unknown scene {name!r}; choices: {sorted(SCENES)}")
+        raise KeyError(
+            f"unknown scene {name!r}; choices: "
+            f"{sorted(SCENES) + sorted(MESH_SCENES)}")
     build, cam = SCENES[name]
     return build(**kwargs), cam(aspect_ratio)

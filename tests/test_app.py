@@ -115,6 +115,38 @@ def test_cli_bench_json(capsys):
     assert data["msamples_per_s"] > 0
 
 
+def test_letterbox_aspect_preserved():
+    from qt_raytracer_tpu.app.preview import letterbox
+    img = np.full((100, 200, 3), 255, np.uint8)  # 2:1 source
+    out = letterbox(img, 100, 100)               # square target
+    assert out.shape == (100, 100, 3)
+    # vertical black bars above/below a 100x50 fitted image
+    assert out[:24].max() == 0 and out[-24:].max() == 0
+    assert out[50].max() == 255
+
+
+def test_ansi_frame_shape():
+    from qt_raytracer_tpu.app.preview import ansi_frame
+    img = np.random.default_rng(0).integers(0, 255, (30, 40, 3), np.uint8)
+    s = ansi_frame(img, cols=20)
+    lines = s.split("\n")
+    assert all("▀" in ln for ln in lines)
+    assert len(lines) >= 4
+
+
+def test_run_preview_smoke(tmp_path, scene_cam):
+    from qt_raytracer_tpu.app.preview import run_preview
+    import io
+    scene, cam = scene_cam
+    cfg = RenderConfig(width=16, height=12, spp=2, max_depth=2)
+    buf = io.StringIO()
+    out = tmp_path / "prev.png"
+    pr = run_preview(scene, cam, cfg, batch=1, out_path=str(out),
+                     ansi=False, stream=buf)
+    assert pr.frame_index == 2 and out.exists()
+    assert "progress 100.0%" in buf.getvalue()
+
+
 def test_cli_aa_preset(tmp_path):
     from qt_raytracer_tpu.app.cli import build_parser
     args = build_parser().parse_args(
