@@ -60,6 +60,24 @@ class SphereScene:
         return self.light_idx.shape[0]
 
 
+def _morton_order(centers: np.ndarray) -> np.ndarray:
+    """Sort order along a 3D Morton (Z-order) curve, 10 bits per axis."""
+    lo = centers.min(0)
+    span = np.maximum(centers.max(0) - lo, 1e-12)
+    q = np.clip(((centers - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+            | (spread(q[:, 2]) << np.uint64(2)))
+    return np.argsort(code, kind="stable")
+
+
 class SceneBuilder:
     """Host-side accumulation of primitives, then freeze to a SphereScene.
 
@@ -91,12 +109,27 @@ class SceneBuilder:
     def emissive(self, center, radius, emission):
         return self.add_sphere(center, radius, EMISSIVE, emission=emission)
 
-    def build(self, pad_to: int | None = 128, dtype=jnp.float32) -> SphereScene:
+    def build(self, pad_to: int | None = 128, dtype=jnp.float32,
+              spatial_sort: bool | None = None) -> SphereScene:
         """Freeze to SoA. pad_to: round S up to a multiple (lane alignment);
-        padded slots are inactive and never hit."""
+        padded slots are inactive and never hit.
+
+        spatial_sort: Morton-order the spheres so consecutive rows are
+        spatially coherent — this is what makes the Pallas kernel's cluster
+        culling effective. Default: auto (on for scenes with >= 64 spheres;
+        small scenes keep insertion order so index-based tests/tooling stay
+        stable). Sorting changes primitive ids but not rendered images
+        (closest-hit ties aside, which are measure-zero).
+        """
         n = len(self._rows)
         if n == 0:
             raise ValueError("scene has no primitives")
+        if spatial_sort is None:
+            spatial_sort = n >= 64
+        if spatial_sort and n > 1:
+            centers = np.array([r[0] for r in self._rows], np.float64)
+            order = _morton_order(centers)
+            self._rows = [self._rows[i] for i in order]
         total = n
         if pad_to:
             total = ((n + pad_to - 1) // pad_to) * pad_to

@@ -50,6 +50,32 @@ def test_pallas_full_render_matches_xla():
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
 
 
+def test_pallas_clustered_path_matches_xla():
+    # >= 1024 spheres triggers the cluster-culled kernel variant (Morton
+    # order + per-chunk AABB gates); must agree with XLA exactly.
+    from qt_raytracer_tpu import SceneBuilder
+    from qt_raytracer_tpu.kernels.sphere_intersect import \
+        MIN_CHUNKS_FOR_CULLING, CHUNK_S
+
+    rng = np.random.default_rng(9)
+    b = SceneBuilder()
+    n_spheres = MIN_CHUNKS_FOR_CULLING * CHUNK_S + 37
+    for _ in range(n_spheres):
+        b.lambertian(rng.uniform(-10, 10, 3), rng.uniform(0.05, 0.4),
+                     (0.5, 0.5, 0.5))
+    scene = b.build(pad_to=128)
+    o = jnp.asarray(rng.uniform(-12, 12, (512, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(512, 3)), jnp.float32)
+    hx = intersect_spheres(scene, o, d, 1e-3, backend="xla")
+    t_p, i_p = sphere_search_pallas(scene, o, d, 1e-3, interpret=True)
+    t_x = np.asarray(hx.t)
+    t_p = np.asarray(t_p)
+    hit_x, hit_p = t_x < float(BIG), t_p < BIG
+    np.testing.assert_array_equal(hit_x, hit_p)
+    np.testing.assert_allclose(t_p[hit_p], t_x[hit_x], rtol=2e-3, atol=1e-4)
+    assert (np.asarray(hx.prim_idx) == np.asarray(i_p))[hit_x].mean() > 0.999
+
+
 def test_pallas_path_gradients_flow():
     # Kernel outputs are detached; gradients must still flow via the
     # refinement recompute.
