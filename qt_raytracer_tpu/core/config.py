@@ -47,6 +47,10 @@ class RenderConfig:
     # give XLA bigger fused batches (better MXU/VPU occupancy on small images)
     # at the cost of 'samples_per_batch' times the ray-state memory.
     samples_per_batch: int = 1
+    # Russian roulette: probabilistically terminate low-energy paths from
+    # this bounce on (0 = off = reference semantics). Unbiased (throughput
+    # compensated); big speedup at high max_depth.
+    rr_start: int = 0
     # RNG: "threefry" (jax counter-based, gold standard) or "hash"
     # (lowbias32 counter hash, ~20x cheaper per bounce on TPU, same
     # shard-invariance; quality validated by tests). Both are deterministic

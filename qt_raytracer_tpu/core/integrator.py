@@ -121,6 +121,7 @@ def trace(
     t_min: float = 1.0e-3,
     intersector: str = "xla",
     nee: bool = False,
+    rr_start: int = 0,
 ) -> jnp.ndarray:
     """Trace N rays to completion; returns linear radiance [N,3].
 
@@ -130,6 +131,12 @@ def trace(
     nee: enable next-event estimation (direct light sampling on diffuse hits
     plus emitter-hit suppression after diffuse bounces; unbiased, massively
     lower variance in enclosed emissive scenes like the Cornell box).
+
+    rr_start: Russian-roulette termination from this bounce index on
+    (0 = off, reference semantics). Survival probability = clamp(max
+    throughput channel, 0.05, 1.0) with exact throughput compensation —
+    unbiased; kills deep low-energy paths so whole 128-ray rows go dead and
+    the kernels skip them. Uses uniform slot 7 (oracle-mirrored).
 
     scene may be a SphereScene or a World (spheres + triangle mesh).
     """
@@ -187,6 +194,13 @@ def trace(
         throughput = jnp.where(
             continues[:, None], state.throughput * sc.attenuation, state.throughput
         )
+        if rr_start > 0:
+            p_cont = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+            do_rr = continues & (depth_idx >= rr_start)
+            survive = uniforms[:, 7] < p_cont
+            throughput = jnp.where((do_rr & survive)[:, None],
+                                   throughput / p_cont[:, None], throughput)
+            continues = continues & (~do_rr | survive)
         origin = jnp.where(continues[:, None], hits.point, state.origin)
         direction = jnp.where(continues[:, None], sc.direction, state.direction)
         # After a diffuse bounce with NEE, the next emitter hit is already

@@ -62,7 +62,8 @@ def _sample_radiance(scene, camera, cfg: RenderConfig, pix_keys, i, j, sample_id
     t = (j + gen[:, 1]) * inv_h
     origins, directions = cam_mod.get_rays(camera, s, t, gen[:, 2], gen[:, 3])
     return trace(scene, origins, directions, samp_keys, cfg.max_depth,
-                 cfg.t_min, intersector=resolve_intersector(cfg), nee=cfg.nee)
+                 cfg.t_min, intersector=resolve_intersector(cfg), nee=cfg.nee,
+                 rr_start=cfg.rr_start)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

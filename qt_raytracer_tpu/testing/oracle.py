@@ -206,7 +206,7 @@ def _nee_once(scene, p, normal, throughput, u, t_min, lights, hit_albedo,
 
 
 def _trace_one(scene, o, d, bounce_u, max_depth, t_min, nee=False,
-               lights=None, mesh=None):
+               lights=None, mesh=None, rr_start=0):
     throughput = np.ones(3)
     radiance = np.zeros(3)
     emit_ok = True
@@ -276,6 +276,11 @@ def _trace_one(scene, o, d, bounce_u, max_depth, t_min, nee=False,
             return radiance
         else:
             raise ValueError(f"bad material tag {mat}")
+        if rr_start > 0 and b >= rr_start:
+            p_cont = min(max(float(np.max(throughput)), 0.05), 1.0)
+            if u[7] >= p_cont:
+                return radiance
+            throughput = throughput / p_cont
     return radiance  # depth exhausted (RayTracer.h:582)
 
 
@@ -332,6 +337,6 @@ def render_oracle_linear(scene, camera, cfg: RenderConfig, key) -> np.ndarray:
                      + v_coord * cam["vertical"] - cam["origin"] - offset)
                 acc += _trace_one(sc, o, d, bounce_u[s, pix], cfg.max_depth,
                                   cfg.t_min, nee=cfg.nee, lights=lights,
-                                  mesh=mesh)
+                                  mesh=mesh, rr_start=cfg.rr_start)
             out[py, px] = acc
     return out
