@@ -30,7 +30,7 @@ def main() -> None:
     from qt_raytracer_tpu.models import scenes
 
     cfg = RenderConfig(width=1920, height=1080, spp=1, max_depth=10,
-                       pixel_chunk=259200,  # 8 chunks of 1/8 frame
+                       pixel_chunk=518400,  # 4 chunks (measured sweet spot)
                        rng="hash")          # counter-hash RNG (fast path)
     scene, camera = scenes.get_scene("random", cfg.aspect_ratio)
     key = jax.random.PRNGKey(0)

@@ -63,13 +63,16 @@ def intersect_mesh(mesh: TriangleMesh, origins, directions, t_min,
     # correct for axis-parallel rays).
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-30, jnp.where(d < 0, -1e-30, 1e-30), d)
 
-    ptr0 = jnp.zeros((n,), jnp.int32)
+    # Derive carries from the (possibly mesh-axis-varying) ray inputs so the
+    # while_loop carry types match under shard_map (jax >= 0.9 check).
+    vary0 = (o[:, 0] * 0.0).astype(jnp.int32)
+    ptr0 = vary0
     if alive is not None:
         ptr0 = jnp.where(jax.lax.stop_gradient(alive), ptr0, m)
     state = (
         ptr0,                                    # node pointer
-        jnp.full((n,), BIG, jnp.float32),        # best t
-        jnp.zeros((n,), jnp.int32),              # best tri
+        BIG + o[:, 0] * 0.0,                     # best t
+        vary0,                                   # best tri
     )
 
     def cond(state):

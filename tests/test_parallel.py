@@ -44,6 +44,20 @@ def test_nondivisible_pixels_padded(setup):
     np.testing.assert_allclose(img, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_sharded_mesh_world_matches_single_device():
+    # World with triangle mesh through shard_map (BVH while-loop traversal
+    # inside the sharded region).
+    from qt_raytracer_tpu.models import meshes
+    cfg = RenderConfig(width=16, height=12, spp=2, max_depth=3)
+    world = meshes.icosphere_world(subdiv=1, builder="python")
+    cam = meshes.icosphere_camera(cfg.aspect_ratio)
+    key = jax.random.PRNGKey(0)
+    ref = np.asarray(render_linear(world, cam, cfg, key))
+    mesh = make_mesh(sp=2, px=4)
+    img = np.asarray(render_linear_sharded(world, cam, cfg, key, mesh))
+    np.testing.assert_allclose(img, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_spp_not_divisible_raises(setup):
     cfg, scene, cam, key, _ = setup
     mesh = make_mesh(sp=3, px=1, devices=jax.devices()[:3])
