@@ -14,11 +14,13 @@ Public API:
                     glossy_dof, cornell)
 """
 
+from .accel.mesh import TriangleMesh, build_mesh
 from .core.camera import Camera, make_camera
 from .core.config import AA_PRESETS, RenderConfig
 from .core.render import render, render_linear, render_sample_batch
 from .core.scene import (DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL,
                          SceneBuilder, SphereScene)
+from .core.world import World, as_world
 from .core import tonemap
 
 __version__ = "0.1.0"
@@ -33,6 +35,10 @@ __all__ = [
     "render_sample_batch",
     "SceneBuilder",
     "SphereScene",
+    "World",
+    "as_world",
+    "TriangleMesh",
+    "build_mesh",
     "LAMBERTIAN",
     "METAL",
     "DIELECTRIC",

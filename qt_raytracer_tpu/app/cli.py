@@ -112,6 +112,21 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_preview(args) -> int:
+    import jax
+
+    backend = _select_backend(args.backend)
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    cfg = _build_cfg(args)
+    scene, camera = _get_scene(args, cfg)
+    from .preview import run_preview
+
+    run_preview(scene, camera, cfg, seed=args.seed, batch=args.batch,
+                out_path=args.out, ansi=args.ansi, ansi_cols=args.ansi_cols)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import jax
 
@@ -159,8 +174,25 @@ def cmd_invert(args) -> int:
     wrong = dc.replace(
         true_scene,
         albedo=true_scene.albedo.at[1].set(jnp.array([0.9, 0.1, 0.5])))
+    start_cam = camera
+    if args.train_camera:
+        delta = jnp.array([0.15, -0.1, 0.1])
+        start_cam = dc.replace(
+            camera, origin=camera.origin + delta,
+            lower_left_corner=camera.lower_left_corner + delta)
+    if args.train_camera:
+        # Camera parameters need a far gentler step than albedo: pathwise
+        # gradients exclude silhouette terms, so large camera moves follow
+        # noisy interior-shading signals only.
+        optimizer = optax.multi_transform(
+            {"scene": optax.adam(args.lr),
+             "camera": optax.adam(args.lr * 0.05)},
+            {"scene": "scene", "camera": "camera"})
+    else:
+        optimizer = optax.adam(args.lr)
     init_state, step_fn, rebuild = make_train_step(
-        wrong, camera, cfg, optax.adam(args.lr), trainable=("albedo",))
+        wrong, start_cam, cfg, optimizer, trainable=("albedo",),
+        train_camera=args.train_camera)
     state = init_state()
     for it in range(args.steps):
         state, loss = step_fn(state, target, jax.random.fold_in(key, it + 1))
@@ -171,6 +203,12 @@ def cmd_invert(args) -> int:
     print(f"recovered albedo {np.round(rec, 3).tolist()} "
           f"(true {np.round(true, 3).tolist()}, "
           f"max err {np.abs(rec - true).max():.4f})")
+    if args.train_camera:
+        rec_o = np.asarray(state.params["camera"].origin)
+        true_o = np.asarray(camera.origin)
+        print(f"recovered camera origin {np.round(rec_o, 3).tolist()} "
+              f"(true {np.round(true_o, 3).tolist()}, "
+              f"err {np.abs(rec_o - true_o).max():.4f})")
     return 0
 
 
@@ -211,6 +249,15 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--resume", action="store_true")
     pr.set_defaults(fn=cmd_render)
 
+    pv = sub.add_parser("preview", help="progressive live preview (PNG/ANSI)")
+    common(pv)
+    pv.add_argument("--out", default="preview.png")
+    pv.add_argument("--batch", type=int, default=1)
+    pv.add_argument("--ansi", action="store_true",
+                    help="render into the terminal (truecolor half-blocks)")
+    pv.add_argument("--ansi-cols", type=int, default=80)
+    pv.set_defaults(fn=cmd_preview)
+
     pb = sub.add_parser("bench", help="timed render, one JSON line")
     common(pb)
     pb.add_argument("--iters", type=int, default=3)
@@ -220,6 +267,8 @@ def build_parser() -> argparse.ArgumentParser:
     common(pi)
     pi.add_argument("--steps", type=int, default=60)
     pi.add_argument("--lr", type=float, default=5e-2)
+    pi.add_argument("--train-camera", action="store_true",
+                    help="also recover a perturbed camera origin")
     pi.set_defaults(fn=cmd_invert)
     return p
 

@@ -58,6 +58,17 @@ def test_sharded_mesh_world_matches_single_device():
     np.testing.assert_allclose(img, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_distributed_helpers_single_process():
+    from qt_raytracer_tpu.parallel import distributed
+    # Single-process: global_mesh spans the 8 virtual devices; gather is a
+    # no-op passthrough; coordinator is process 0.
+    mesh = distributed.global_mesh(sp=1)
+    assert mesh.shape["px"] == len(jax.devices())
+    assert distributed.is_coordinator()
+    x = jax.numpy.arange(12.0).reshape(3, 4)
+    np.testing.assert_array_equal(distributed.gather_image(x), np.asarray(x))
+
+
 def test_spp_not_divisible_raises(setup):
     cfg, scene, cam, key, _ = setup
     mesh = make_mesh(sp=3, px=1, devices=jax.devices()[:3])
