@@ -84,14 +84,26 @@ def cmd_render(args) -> int:
             pr.load(args.checkpoint)
             print(f"resumed at {pr.frame_index} spp", file=sys.stderr)
         frames = 0
-        while pr.frame_index < cfg.spp:
-            todo = min(args.batch, cfg.spp - pr.frame_index)
-            pr.step(todo)
-            frames += 1
-            print(f"progress {pr.progress:5.1f}% "
-                  f"({pr.frame_index}/{cfg.spp} spp)", file=sys.stderr)
+        try:
+            while pr.frame_index < cfg.spp:
+                todo = min(args.batch, cfg.spp - pr.frame_index)
+                pr.step(todo)
+                frames += 1
+                print(f"progress {pr.progress:5.1f}% "
+                      f"({pr.frame_index}/{cfg.spp} spp)", file=sys.stderr)
+                if args.checkpoint:
+                    pr.save(args.checkpoint)
+        except KeyboardInterrupt:
+            # stopRender analog (RayTracerFboItem.cpp:334-348): stop cleanly,
+            # keep the partial accumulation; --resume continues it.
             if args.checkpoint:
                 pr.save(args.checkpoint)
+                print(f"\ninterrupted at {pr.frame_index}/{cfg.spp} spp; "
+                      f"checkpoint saved to {args.checkpoint} (resume with "
+                      f"--resume)", file=sys.stderr)
+            else:
+                print(f"\ninterrupted at {pr.frame_index}/{cfg.spp} spp",
+                      file=sys.stderr)
         img = pr.image()
         stats = RenderStats(cfg.width, cfg.height, pr.frame_index,
                             cfg.max_depth, timer.elapsed_s, frames=frames,

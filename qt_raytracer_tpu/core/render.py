@@ -66,6 +66,34 @@ def _sample_radiance(scene, camera, cfg: RenderConfig, pix_keys, i, j, sample_id
                  rr_start=cfg.rr_start)
 
 
+def _merged_batch_radiance(scene, camera, cfg: RenderConfig, pix_keys, i, j,
+                           batch_idx, spb: int):
+    """Trace spb samples of every pixel as ONE merged wavefront.
+
+    Small images underfill the chip per launch (fixed per-bounce costs
+    dominate below ~1M rays); concatenating the batch's samples into a
+    single [spb*N] ray population amortizes them. Per-sample keys/uniforms
+    are identical to the scan path, and the per-pixel sum runs in ascending
+    sample order, so results match the one-sample-at-a-time path bitwise.
+    """
+    n = i.shape[0]
+    rep = lambda x: jnp.concatenate([x] * spb, axis=0)
+    sample_ids = batch_idx * spb + jnp.repeat(
+        jnp.arange(spb, dtype=jnp.uint32), n)
+    samp_keys = sampling.sample_keys(rep(pix_keys), sample_ids)
+    gen = sampling.stream_uniforms(samp_keys, sampling.STREAM_GEN,
+                                   sampling.UNIFORMS_GEN)
+    inv_w = 1.0 / max(cfg.width - 1, 1)
+    inv_h = 1.0 / max(cfg.height - 1, 1)
+    s = (rep(i) + gen[:, 0]) * inv_w
+    t = (rep(j) + gen[:, 1]) * inv_h
+    origins, directions = cam_mod.get_rays(camera, s, t, gen[:, 2], gen[:, 3])
+    rad = trace(scene, origins, directions, samp_keys, cfg.max_depth,
+                cfg.t_min, intersector=resolve_intersector(cfg), nee=cfg.nee,
+                rr_start=cfg.rr_start)
+    return jnp.sum(rad.reshape(spb, n, 3), axis=0)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def render_linear(
     scene: SphereScene, camera, cfg: RenderConfig, key: jax.Array
@@ -83,12 +111,13 @@ def render_linear(
 
     def render_chunk(pix_keys_c, i_c, j_c):
         def batch_step(accum, batch_idx):
-            def one_sample(acc, k):
-                sample_idx = batch_idx * spb + k
-                return acc + _sample_radiance(scene, camera, cfg, pix_keys_c,
-                                              i_c, j_c, sample_idx), None
-            accum, _ = jax.lax.scan(one_sample, accum, jnp.arange(spb))
-            return accum, None
+            if spb == 1:
+                out = _sample_radiance(scene, camera, cfg, pix_keys_c,
+                                       i_c, j_c, batch_idx)
+            else:
+                out = _merged_batch_radiance(scene, camera, cfg, pix_keys_c,
+                                             i_c, j_c, batch_idx, spb)
+            return accum + out, None
 
         accum = jnp.zeros((i_c.shape[0], 3), jnp.float32)
         accum, _ = jax.lax.scan(batch_step, accum, jnp.arange(num_batches))

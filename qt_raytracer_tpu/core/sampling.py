@@ -76,14 +76,19 @@ def pixel_keys(base_key: jax.Array, num_pixels: int) -> jax.Array:
 
 
 def sample_keys(pix_keys: jax.Array, sample_index) -> jax.Array:
-    """Per-pixel state for one sample index (traced int OK inside scan).
+    """Per-pixel state for one sample index (traced int OK inside scan);
+    sample_index may also be a per-pixel [N] vector (merged sample batches).
 
     Dtype dispatch: uint32 states take the hash path, threefry keys the
     fold_in path — downstream code is RNG-agnostic.
     """
     if _is_hash_state(pix_keys):
-        return _lowbias32(pix_keys ^ jnp.uint32(sample_index) * GOLDEN)
-    return jax.vmap(lambda k: jax.random.fold_in(k, sample_index))(pix_keys)
+        ids = jnp.asarray(sample_index, jnp.uint32)
+        return _lowbias32(pix_keys ^ ids * GOLDEN)
+    if jnp.ndim(sample_index) == 0:
+        return jax.vmap(lambda k: jax.random.fold_in(k, sample_index))(
+            pix_keys)
+    return jax.vmap(jax.random.fold_in)(pix_keys, jnp.asarray(sample_index))
 
 
 def stream_uniforms(samp_keys: jax.Array, stream_id, n: int) -> jax.Array:
