@@ -1,9 +1,9 @@
-"""Pallas TPU kernel: clustered triangle-mesh closest hit, front-to-back.
+"""Pallas TPU kernel: clustered triangle-mesh closest hit.
 
 Per-ray BVH pointer walks (accel/traverse.py) are hostile to TPUs: every
 lockstep iteration gathers node data at ~2 ms per 256Ki rays and the whole
-wavefront waits for its slowest lane. This kernel replaces the walk with an
-ORDERED cluster sweep shaped by Mosaic's actual constraints (no dynamic LANE
+wavefront waits for its slowest lane. This kernel replaces the walk with a
+cluster sweep shaped by Mosaic's actual constraints (no dynamic LANE
 indexing; dynamic SUBLANE slices/reads are fine; (X,1) tiles are lane-padded
 128x so bulk data must be lane-dense):
 
@@ -14,21 +14,14 @@ indexing; dynamic SUBLANE slices/reads are fine; (X,1) tiles are lane-padded
            clusters = G consecutive BVH-ordered (spatially coherent)
                triangles; AABBs as [K/128, 128] lane-dense planes.
 
-  host/XLA per 128-ray group: a conservative lower-bound distance key per
-      cluster (group-origin ball to cluster ball), argsorted -> per-group
-      front-to-back cluster order, shipped as [K, groups] sublane-major
-      arrays (read with dynamic sublane + static lane indices).
-
   kernel, per 128-ray group:
-      phase 0: mesh-root slab test caps each lane's useful t (miss lanes
-          contribute nothing), so the walk can terminate early;
       phase 1: slab-test ALL K cluster boxes as (128, 128) tiles;
           per-cluster hit popcounts into a (K, 1) scratch;
-      phase 2: while-loop over the SORTED clusters; stops when the next
-          cluster's key exceeds every lane's capped best-hit distance;
+      phase 2: fori_loop over clusters in BVH-DFS order;
           pl.when(popcount > 0) skips untouched clusters; survivors run
           Möller-Trumbore as (128 rays, 128 tris) tiles with running
-          min/argmin in (128, 1) scratch.
+          min/argmin in (128, 1) scratch. (A front-to-back ordered variant
+          with capped early exit measured slower — see the in-kernel note.)
 
 Outputs are detached; differentiable quantities are re-derived by the caller
 (core/world.py).
@@ -91,38 +84,7 @@ def prep_mesh_clusters(mesh: TriangleMesh):
     return tri_planes, box_planes, centers, radii, k, k_pad
 
 
-def _front_to_back_order(origins, centers, radii, nb, k):
-    """Per-128-ray-group conservative cluster ordering.
-
-    key[c] = max(0, |cluster_ctr - group_ctr| - cluster_rad - group_rad):
-    a lower bound on the DISTANCE from any group ray origin to any point of
-    cluster c — valid for early termination against t*|d|. Returns
-    (ids [nb*k8, 128] i32, keys [nb*k8, 128] f32) in sublane-major layout
-    (cluster rank along sublanes, group along lanes).
-    """
-    ngroups = nb * GROUPS
-    og = origins.reshape(ngroups, LANE, 3)
-    ctr = 0.5 * (og.max(1) + og.min(1))                      # [G,3]
-    grad = 0.5 * jnp.linalg.norm(og.max(1) - og.min(1), axis=1)
-    dist = jnp.linalg.norm(ctr[:, None, :] - centers[None, :, :], axis=-1)
-    keys = jnp.maximum(dist - radii[None, :] - grad[:, None], 0.0)  # [G,k]
-    order = jnp.argsort(keys, axis=1).astype(jnp.int32)             # [G,k]
-    skeys = jnp.take_along_axis(keys, order, axis=1)
-
-    k8 = max(-(-k // SUBLANE) * SUBLANE, SUBLANE)
-
-    def pack(x, fill):
-        # [G, k] -> [nb, GROUPS, k] -> [nb, k8, LANE(lane=group)] -> rows
-        x = x.reshape(nb, GROUPS, k)
-        x = jnp.swapaxes(x, 1, 2)                                   # [nb,k,G]
-        x = jnp.pad(x, ((0, 0), (0, k8 - k), (0, LANE - GROUPS)),
-                    constant_values=fill)
-        return x.reshape(nb * k8, LANE)
-
-    return pack(order, 0), pack(skeys, BIG), k8
-
-
-def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, order, okeys,
+def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive,
                  v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
                  blox, bloy, bloz, bhix, bhiy, bhiz,
                  t_out, idx_out,
@@ -142,14 +104,8 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, order, okeys,
             inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-30,
                                         jnp.where(c < 0, -1e-30, 1e-30), c)
                         for c in d)
-            dnorm = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
 
-            # Phase 0: mesh-root box (union of first box row reduces? use
-            # cluster boxes' global union via min/max over phase-1 tiles is
-            # implicit: instead cap with per-lane exit over ALL clusters,
-            # computed as max exit among clusters the lane's ray enters).
             # Phase 1: cluster slab tests, 128 clusters (lanes) at a time.
-            t_cap = jnp.zeros((128, 1), jnp.float32)   # distance cap per lane
             for kr in range(k_rows):
                 blo = (blox[kr:kr+1, :], bloy[kr:kr+1, :], bloz[kr:kr+1, :])
                 bhi = (bhix[kr:kr+1, :], bhiy[kr:kr+1, :], bhiz[kr:kr+1, :])
@@ -164,13 +120,7 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, order, okeys,
                 cnt_row = jnp.sum(mask.astype(jnp.int32), axis=0,
                                   keepdims=True)        # (1, 128)
                 counts_ref[kr * LANE:(kr + 1) * LANE, :] = tcol(cnt_row)
-                # Useful-t cap: a lane never needs hits beyond the farthest
-                # cluster box it exits (misses contribute 0).
-                lane_exit = jnp.max(jnp.where(mask, exit_, 0.0), axis=1,
-                                    keepdims=True)      # (128, 1)
-                t_cap = jnp.maximum(t_cap, lane_exit)
 
-            cap_dist = t_cap * dnorm                    # (128, 1)
             tb_ref[...] = jnp.full((128, 1), BIG, jnp.float32)
             ib_ref[...] = jnp.zeros((128, 1), jnp.int32)
 
@@ -231,10 +181,9 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, order, okeys,
             # 301-371 ms/frame vs 220 ms for this plain sweep — the ordered
             # indirection (dynamic order[] reads, per-check scalar reduces,
             # loop clamps) cost more than the pruning saved, because any
-            # miss lane keeps the termination cap at its farthest box exit.
-            # Revisit only with per-lane walk termination.
-            _ = (order, okeys, dnorm, cap_dist)  # kept for future ordering
-
+            # miss lane keeps the termination cap at its farthest box exit
+            # (see git history for the implementation). Revisit only with
+            # per-lane walk termination.
             def cluster_body(c, _):
                 @pl.when(counts_ref[c, 0] > 0)
                 def _():
@@ -283,25 +232,18 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
     pr = tri_planes[0].shape[0]
     kr = box_planes[0].shape[0]
 
-    o_padded = jnp.pad(origins, ((0, n_pad - n), (0, 0)))
-    order_arr, keys_arr, k8 = _front_to_back_order(
-        o_padded, centers, radii, nb, k)
-
     ray_spec = pl.BlockSpec((GROUPS, LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec((pr, LANE), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     box_spec = pl.BlockSpec((kr, LANE), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    ord_spec = pl.BlockSpec((k8, LANE), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
 
     t, idx = pl.pallas_call(
         functools.partial(_mesh_kernel, t_min=t_min, num_clusters=k,
                           num_tris=mesh.num_triangles, k_rows=kr),
         grid=(nb,),
-        in_specs=[ray_spec] * 7 + [ord_spec] * 2 + [tri_spec] * 9
-                 + [box_spec] * 6,
+        in_specs=[ray_spec] * 7 + [tri_spec] * 9 + [box_spec] * 6,
         out_specs=(ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.float32),
@@ -318,7 +260,7 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*rays, order_arr, keys_arr, *tri_planes, *box_planes)
+    )(*rays, *tri_planes, *box_planes)
 
     t = jax.lax.stop_gradient(t.reshape(-1)[:n])
     idx = jax.lax.stop_gradient(idx.reshape(-1)[:n])
