@@ -30,7 +30,10 @@ def main() -> None:
     from qt_raytracer_tpu.models import scenes
 
     cfg = RenderConfig(width=1920, height=1080, spp=1, max_depth=10,
-                       pixel_chunk=518400,  # 4 chunks (measured sweet spot)
+                       # 5 chunks; must be a multiple of 1024 (the Pallas ray
+                       # tile) or XLA pads+copies every kernel operand per
+                       # bounce (measured: 601 -> 465 ms/frame).
+                       pixel_chunk=414720,
                        rng="hash")          # counter-hash RNG (fast path)
     scene, camera = scenes.get_scene("random", cfg.aspect_ratio)
     key = jax.random.PRNGKey(0)
