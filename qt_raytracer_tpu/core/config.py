@@ -61,8 +61,10 @@ class RenderConfig:
     # emissive scenes (BASELINE config 2 Cornell box). Default off to match
     # the reference's pure BSDF-sampling transport.
     nee: bool = False
-    # Closest-hit search implementation: "auto" (pallas on TPU, xla
-    # elsewhere), "xla", "pallas", or "pallas_interpret" (CPU debugging).
+    # Closest-hit search implementation: "auto" (fused on TPU, xla
+    # elsewhere), "xla", "pallas", "pallas_interpret" (CPU debugging),
+    # "fused" (fused hit kernel + flat-SoA integrator — fastest forward
+    # path, sphere scenes, non-differentiable), or "fused_interpret".
     intersector: str = "auto"
     # If > 0, trace pixels in chunks of this many rays (lax.scan over chunks).
     # Bounds the [rays, spheres] intersection intermediate: at 1080p x 128
@@ -77,7 +79,9 @@ class RenderConfig:
         object.__setattr__(self, "max_depth", _clamp(self.max_depth, MIN_DEPTH, MAX_DEPTH))
         if self.quantizer not in ("cpu", "gpu"):
             raise ValueError(f"quantizer must be 'cpu' or 'gpu', got {self.quantizer!r}")
-        if self.intersector not in ("auto", "xla", "pallas", "pallas_interpret"):
+        if self.intersector not in ("auto", "xla", "pallas",
+                                    "pallas_interpret", "fused",
+                                    "fused_interpret"):
             raise ValueError(f"unknown intersector {self.intersector!r}")
         if self.rng not in ("threefry", "hash"):
             raise ValueError(f"unknown rng {self.rng!r}")

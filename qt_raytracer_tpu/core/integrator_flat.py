@@ -1,0 +1,282 @@
+"""Flat-SoA wavefront integrator (fast forward path).
+
+Semantically IDENTICAL to core/integrator.py `trace` (same estimator, same
+uniform slots, same tie-breaks — the float64 oracle applies to both), but the
+ray state is carried as flat [N] component arrays instead of [N,3] vectors
+and the closest hit comes from the fused Pallas kernel
+(kernels/fused_hit.py) which also returns refined t, hit point, normal and
+winner material parameters as flat arrays.
+
+Why: profiling the headline frame showed ~half the per-bounce device time in
+XLA layout conversions between the [N,3] scan carry and the kernel's
+(rows,128) operands plus the 128-lane-padded [N,16] parameter gather. Flat
+components bitcast straight into kernel tiles (N % 1024 == 0 after padding),
+and winner parameters never leave VMEM un-extracted.
+
+Restrictions (callers fall back to core/integrator.py otherwise):
+  - sphere scenes only (no triangle meshes);
+  - forward-only: every hit quantity is detached, gradients do NOT flow
+    (inverse rendering uses the XLA-re-derive path).
+
+All math below mirrors its [N,3] counterpart line by line — keep the two in
+sync (and the oracle, testing/oracle.py) when changing either.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import sampling
+from .intersect import packed_param_table
+from .scene import DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL, SphereScene
+from ..kernels.fused_hit import BIG, TILE, fused_hit_pallas
+
+TWO_PI = 6.283185307179586
+
+
+def _safe_rsqrt_len2(x, y, z):
+    """(n2, inv_len) mirroring vm.safe_unit_vector's guard semantics."""
+    n2 = x * x + y * y + z * z
+    ok = n2 > 1.0e-20
+    inv = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, n2, 1.0)), 0.0)
+    return n2, inv
+
+
+def _safe_sqrt(x):
+    """Mirror vm.safe_sqrt (forward value = sqrt(max(x, 0)))."""
+    xs = jnp.where(x > 0.0, x, 1.0)
+    return jnp.where(x > 0.0, jnp.sqrt(xs), 0.0)
+
+
+def _sky(dx, dy, dz):
+    """sky_color (RayTracer.h:593-595) on flat components."""
+    _, inv = _safe_rsqrt_len2(dx, dy, dz)
+    t = 0.5 * (dy * inv + 1.0)
+    return (1.0 - t) * 1.0 + t * 0.5, (1.0 - t) * 1.0 + t * 0.7, \
+        (1.0 - t) * 1.0 + t * 1.0
+
+
+def _scatter_flat(mat, ax, ay, az, fuzz, ior, ex, ey, ez,
+                  dx, dy, dz, nx, ny, nz, ff, uni):
+    """materials.scatter on flat components (identical formulas/slots)."""
+    u0, u1, u2, u3 = uni[:, 0], uni[:, 1], uni[:, 2], uni[:, 3]
+    _, inv = _safe_rsqrt_len2(dx, dy, dz)
+    ux, uy, uz = dx * inv, dy * inv, dz * inv
+
+    # Lambertian: normal + random_unit_vector, degenerate guard.
+    zc = 1.0 - 2.0 * u0
+    rr = jnp.sqrt(jnp.maximum(1.0e-20, 1.0 - zc * zc))
+    phi = TWO_PI * u1
+    rux, ruy, ruz = rr * jnp.cos(phi), rr * jnp.sin(phi), zc
+    lx, ly, lz = nx + rux, ny + ruy, nz + ruz
+    degen = lx * lx + ly * ly + lz * lz < 1.0e-8
+    lx = jnp.where(degen, nx, lx)
+    ly = jnp.where(degen, ny, ly)
+    lz = jnp.where(degen, nz, lz)
+
+    # Metal: mirror + fuzz * in_unit_sphere; absorb below horizon.
+    din = ux * nx + uy * ny + uz * nz
+    rfx = ux - 2.0 * din * nx
+    rfy = uy - 2.0 * din * ny
+    rfz = uz - 2.0 * din * nz
+    cb = jnp.cbrt(u2)
+    mx = rfx + fuzz * (rux * cb)
+    my = rfy + fuzz * (ruy * cb)
+    mz = rfz + fuzz * (ruz * cb)
+    met_ok = mx * nx + my * ny + mz * nz > 0.0
+
+    # Dielectric: Schlick vs uniform, TIR, white attenuation.
+    ratio = jnp.where(ff, 1.0 / ior, ior)
+    cos_t = jnp.minimum((-ux) * nx + (-uy) * ny + (-uz) * nz, 1.0)
+    sin_t = _safe_sqrt(1.0 - cos_t * cos_t)
+    cannot = ratio * sin_t > 1.0
+    r0 = (1.0 - ratio) / (1.0 + ratio)
+    r0 = r0 * r0
+    refl = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+    must_reflect = cannot | (refl > u3)
+    rpx = ratio * (ux + cos_t * nx)
+    rpy = ratio * (uy + cos_t * ny)
+    rpz = ratio * (uz + cos_t * nz)
+    par = -_safe_sqrt(jnp.abs(1.0 - (rpx * rpx + rpy * rpy + rpz * rpz)))
+    ddx = jnp.where(must_reflect, rfx, rpx + par * nx)
+    ddy = jnp.where(must_reflect, rfy, rpy + par * ny)
+    ddz = jnp.where(must_reflect, rfz, rpz + par * nz)
+
+    is_lam = mat == LAMBERTIAN
+    is_met = mat == METAL
+    is_die = mat == DIELECTRIC
+    is_emit = mat == EMISSIVE
+    sdx = jnp.where(is_lam, lx, jnp.where(is_met, mx, ddx))
+    sdy = jnp.where(is_lam, ly, jnp.where(is_met, my, ddy))
+    sdz = jnp.where(is_lam, lz, jnp.where(is_met, mz, ddz))
+    white = is_die | is_emit
+    atx = jnp.where(white, 1.0, ax)
+    aty = jnp.where(white, 1.0, ay)
+    atz = jnp.where(white, 1.0, az)
+    ok = jnp.where(is_met, met_ok, ~is_emit)
+    emx = jnp.where(is_emit, ex, 0.0)
+    emy = jnp.where(is_emit, ey, 0.0)
+    emz = jnp.where(is_emit, ez, 0.0)
+    return (sdx, sdy, sdz, atx, aty, atz, ok, emx, emy, emz, is_lam)
+
+
+def _nee_flat(scene, px, py, pz, nx, ny, nz, ax, ay, az, tx, ty, tz,
+              diffuse, uni, t_min, interpret):
+    """_nee_contribution on flat components (same estimator & slots)."""
+    u4, u5, u6 = uni[:, 4], uni[:, 5], uni[:, 6]
+    n_lights = scene.max_lights
+    pick = jnp.clip((u4 * n_lights).astype(jnp.int32), 0, n_lights - 1)
+    light = scene.light_idx[pick]
+    has_light = light >= 0
+    light_safe = jnp.maximum(light, 0)
+    lp = packed_param_table(scene)[light_safe]
+    lcx, lcy, lcz, lr = lp[:, 0], lp[:, 1], lp[:, 2], lp[:, 3]
+    lex, ley, lez = lp[:, 10], lp[:, 11], lp[:, 12]
+
+    tox, toy, toz = lcx - px, lcy - py, lcz - pz
+    dist2 = tox * tox + toy * toy + toz * toz
+    outside = dist2 > lr * lr * 1.0001
+    sin2 = jnp.clip(lr * lr / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
+    cos_max = _safe_sqrt(1.0 - sin2)
+
+    _, winv = _safe_rsqrt_len2(tox, toy, toz)
+    wx, wy, wz = tox * winv, toy * winv, toz * winv
+    cos_s = 1.0 - u5 * (1.0 - cos_max)
+    sin_s = _safe_sqrt(1.0 - cos_s * cos_s)
+    phi = TWO_PI * u6
+    # Branchless ONB (Duff et al. 2017), mirrors integrator._onb.
+    sign = jnp.where(wz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + wz)
+    b = wx * wy * a
+    t1x, t1y, t1z = 1.0 + sign * wx * wx * a, sign * b, -sign * wx
+    t2x, t2y, t2z = b, sign + wy * wy * a, -wy
+    sc, ss = sin_s * jnp.cos(phi), sin_s * jnp.sin(phi)
+    ldx = sc * t1x + ss * t2x + cos_s * wx
+    ldy = sc * t1y + ss * t2y + cos_s * wy
+    ldz = sc * t1z + ss * t2z + cos_s * wz
+
+    cos_surf = nx * ldx + ny * ldy + nz * ldz
+    cand = diffuse & has_light & outside & (cos_surf > 0.0)
+
+    sh = fused_hit_pallas(scene, px, py, pz, ldx, ldy, ldz, cand,
+                          float(t_min), shadow_only=True,
+                          interpret=interpret)
+    lit = cand & (sh["t"] < BIG) & (sh["idx"] == light_safe)
+
+    weight = 2.0 * (1.0 - cos_max) * n_lights
+    cw = cos_surf * weight
+    cx = tx * ax * cw * lex
+    cy = ty * ay * cw * ley
+    cz = tz * az * cw * lez
+    zero = jnp.zeros_like(cx)
+    return (jnp.where(lit, cx, zero), jnp.where(lit, cy, zero),
+            jnp.where(lit, cz, zero))
+
+
+def trace_flat(
+    scene: SphereScene,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    sample_keys: jnp.ndarray,
+    max_depth: int,
+    t_min: float = 1.0e-3,
+    nee: bool = False,
+    rr_start: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for integrator.trace (sphere scenes, forward-only).
+
+    Same signature contract: origins/directions [N,3], returns radiance
+    [N,3]. Internally pads N up to a multiple of the 1024-ray kernel tile
+    with dead rays (bit-transparent: dead rows are skipped and sliced off).
+    """
+    if not isinstance(scene, SphereScene):
+        raise TypeError("trace_flat handles SphereScene only")
+    n = origins.shape[0]
+    n_pad = (-n) % TILE
+
+    def padf(x, v=0.0):
+        return jnp.pad(x, (0, n_pad), constant_values=v) if n_pad else x
+
+    ox, oy, oz = (padf(origins[:, i]) for i in range(3))
+    dx, dy, dz = padf(directions[:, 0]), padf(directions[:, 1]), \
+        padf(directions[:, 2], 1.0)
+    if sample_keys.ndim == 1:
+        keys = padf(sample_keys)
+    else:
+        keys = jnp.pad(sample_keys, ((0, n_pad), (0, 0))) if n_pad \
+            else sample_keys
+
+    zero = ox * 0.0
+    one = zero + 1.0
+    true_mask = zero == 0.0
+    alive0 = true_mask if not n_pad else padf(jnp.ones((n,), jnp.float32))[
+        : n + n_pad] > 0.0
+    state = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
+             alive0, alive0)  # ..., alive, emit_ok
+
+    def bounce(state, depth_idx):
+        (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
+         alive, emit_ok) = state
+        h = fused_hit_pallas(scene, ox, oy, oz, dx, dy, dz, alive,
+                             float(t_min), interpret=interpret)
+        hit = h["t"] < BIG
+        ff = h["ff"] > 0
+
+        uni = sampling.stream_uniforms(
+            keys, sampling.STREAM_BOUNCE0 + depth_idx,
+            sampling.UNIFORMS_PER_BOUNCE)
+        (sdx, sdy, sdz, atx, aty, atz, ok, emx, emy, emz,
+         is_lam) = _scatter_flat(
+            h["mat"], h["ax"], h["ay"], h["az"], h["fuzz"], h["ior"],
+            h["ex"], h["ey"], h["ez"], dx, dy, dz,
+            h["nx"], h["ny"], h["nz"], ff, uni)
+
+        miss = alive & ~hit
+        emit_hit = alive & hit & emit_ok
+        skx, sky_, skz = _sky(dx, dy, dz)
+        zero_ = rx * 0.0
+        rx = rx + jnp.where(miss, tx * skx, zero_)
+        ry = ry + jnp.where(miss, ty * sky_, zero_)
+        rz = rz + jnp.where(miss, tz * skz, zero_)
+        rx = rx + jnp.where(emit_hit, tx * emx, zero_)
+        ry = ry + jnp.where(emit_hit, ty * emy, zero_)
+        rz = rz + jnp.where(emit_hit, tz * emz, zero_)
+
+        diffuse = alive & hit & is_lam
+        if nee:
+            nx_, ny_, nz_ = _nee_flat(
+                scene, h["px"], h["py"], h["pz"], h["nx"], h["ny"], h["nz"],
+                h["ax"], h["ay"], h["az"], tx, ty, tz, diffuse, uni,
+                t_min, interpret)
+            rx, ry, rz = rx + nx_, ry + ny_, rz + nz_
+
+        continues = alive & hit & ok
+        tx = jnp.where(continues, tx * atx, tx)
+        ty = jnp.where(continues, ty * aty, ty)
+        tz = jnp.where(continues, tz * atz, tz)
+        if rr_start > 0:
+            p_cont = jnp.clip(jnp.maximum(jnp.maximum(tx, ty), tz),
+                              0.05, 1.0)
+            do_rr = continues & (depth_idx >= rr_start)
+            survive = uni[:, 7] < p_cont
+            adj = do_rr & survive
+            tx = jnp.where(adj, tx / p_cont, tx)
+            ty = jnp.where(adj, ty / p_cont, ty)
+            tz = jnp.where(adj, tz / p_cont, tz)
+            continues = continues & (~do_rr | survive)
+        ox = jnp.where(continues, h["px"], ox)
+        oy = jnp.where(continues, h["py"], oy)
+        oz = jnp.where(continues, h["pz"], oz)
+        dx = jnp.where(continues, sdx, dx)
+        dy = jnp.where(continues, sdy, dy)
+        dz = jnp.where(continues, sdz, dz)
+        emit_ok = ~diffuse if nee else (zero_ == 0.0)
+        return (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
+                continues, emit_ok), None
+
+    state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth), unroll=1)
+    rx, ry, rz = state[9], state[10], state[11]
+    rad = jnp.stack([rx[:n], ry[:n], rz[:n]], axis=-1)
+    return rad

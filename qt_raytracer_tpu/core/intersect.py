@@ -151,8 +151,18 @@ def intersect_spheres(
     c1 = vm.length_squared(oc) - r_sel * r_sel
     disc1 = half_b1 * half_b1 - a1 * c1
     sqrtd1 = vm.safe_sqrt(disc1)
-    near1 = (-half_b1 - sqrtd1) / a1
-    far1 = (-half_b1 + sqrtd1) / a1
+    # Numerically stable roots (Citardauq): the naive (-half_b - sqrt)/a form
+    # cancels catastrophically for the near root when |a*c1| << half_b^2
+    # (every ground-sphere hit: |c| ~ 1e3). q carries the non-cancelling sum;
+    # the other root is c1/q. Same math as RayTracer.h:289-305, ~1e2 tighter
+    # in f32 (and agreeing across XLA / Pallas FMA-contraction choices).
+    sq_signed = jnp.where(half_b1 >= 0.0, sqrtd1, -sqrtd1)
+    q1 = -half_b1 - sq_signed
+    q1_safe = jnp.where(q1 == 0.0, 1.0, q1)
+    root_a = q1 / a1
+    root_b = jnp.where(q1 == 0.0, 0.0, c1 / q1_safe)
+    near1 = jnp.where(half_b1 >= 0.0, root_a, root_b)
+    far1 = jnp.where(half_b1 >= 0.0, root_b, root_a)
     near_ok1 = (near1 >= t_min) & (near1 <= t_max)
     t_fine = jnp.where(near_ok1, near1, far1)
     fine_ok = (disc1 >= 0.0) & (near_ok1 | ((far1 >= t_min) & (far1 <= t_max)))

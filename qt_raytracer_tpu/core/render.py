@@ -33,6 +33,25 @@ def resolve_intersector(cfg: RenderConfig) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _trace_dispatch(scene, origins, directions, samp_keys, cfg: RenderConfig):
+    """Route to the flat-SoA fast path ("fused"/"fused_interpret", sphere
+    scenes) or the general [N,3] integrator. Both produce the same estimator
+    on the same RNG stream; the flat path is forward-only (bench/preview),
+    mesh worlds and gradient renders take the general path."""
+    backend = resolve_intersector(cfg)
+    if backend in ("fused", "fused_interpret"):
+        if isinstance(scene, SphereScene):
+            from .integrator_flat import trace_flat
+
+            return trace_flat(scene, origins, directions, samp_keys,
+                              cfg.max_depth, cfg.t_min, nee=cfg.nee,
+                              rr_start=cfg.rr_start,
+                              interpret=(backend == "fused_interpret"))
+        backend = ("pallas" if backend == "fused" else "pallas_interpret")
+    return trace(scene, origins, directions, samp_keys, cfg.max_depth,
+                 cfg.t_min, intersector=backend, nee=cfg.nee,
+                 rr_start=cfg.rr_start)
+
 
 def pixel_grid(cfg: RenderConfig, dtype=jnp.float32):
     """Flat per-pixel (i, j) viewport integer coordinates, image order.
@@ -61,9 +80,7 @@ def _sample_radiance(scene, camera, cfg: RenderConfig, pix_keys, i, j, sample_id
     s = (i + gen[:, 0]) * inv_w
     t = (j + gen[:, 1]) * inv_h
     origins, directions = cam_mod.get_rays(camera, s, t, gen[:, 2], gen[:, 3])
-    return trace(scene, origins, directions, samp_keys, cfg.max_depth,
-                 cfg.t_min, intersector=resolve_intersector(cfg), nee=cfg.nee,
-                 rr_start=cfg.rr_start)
+    return _trace_dispatch(scene, origins, directions, samp_keys, cfg)
 
 
 def _merged_batch_radiance(scene, camera, cfg: RenderConfig, pix_keys, i, j,
@@ -88,9 +105,7 @@ def _merged_batch_radiance(scene, camera, cfg: RenderConfig, pix_keys, i, j,
     s = (rep(i) + gen[:, 0]) * inv_w
     t = (rep(j) + gen[:, 1]) * inv_h
     origins, directions = cam_mod.get_rays(camera, s, t, gen[:, 2], gen[:, 3])
-    rad = trace(scene, origins, directions, samp_keys, cfg.max_depth,
-                cfg.t_min, intersector=resolve_intersector(cfg), nee=cfg.nee,
-                rr_start=cfg.rr_start)
+    rad = _trace_dispatch(scene, origins, directions, samp_keys, cfg)
     return jnp.sum(rad.reshape(spb, n, 3), axis=0)
 
 

@@ -123,7 +123,12 @@ def _hit_mesh_brute(mesh, o, d, t_min, t_max):
 
 
 def _hit_scene(scene, o, d, t_min):
-    """Closest sphere hit; mirrors Sphere::hit + argmin tie-break."""
+    """Closest sphere hit; mirrors Sphere::hit + argmin tie-break.
+
+    The renderer's refinement uses the numerically stable (Citardauq) root
+    form; in float64 the naive form below agrees with it to ~1e-12 relative,
+    far inside every golden tolerance, so the oracle keeps the reference's
+    literal recipe (RayTracer.h:289-305)."""
     centers = scene["center"]
     radii = scene["radius"]
     active = scene["active"]
