@@ -75,6 +75,79 @@ def _fused_kernel(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz, c2r2, ptab,
     izero = jnp.zeros((1, RAY_BLOCK), jnp.int32)
     big = jnp.full((1, RAY_BLOCK), BIG, jnp.float32)
 
+    def _extract_refine(r, a, t_best, idx_final, rows,
+                        o_x, o_y, o_z, d_x, d_y, d_z):
+        # --- winner-parameter extraction ---
+        if mxu_extract:
+            # One-hot matmul on the MXU: params are pre-split into three
+            # bf16-EXACT pieces (8+8+8 mantissa bits = f32's 24), the
+            # one-hot mask is exact in bf16, and MXU products accumulate
+            # in f32 with a single nonzero term per lane — so
+            # hi + mid + lo reconstructs the f32 parameter bit-exactly
+            # (tests assert equality with the XLA gather). Replaces 13
+            # VPU (S,B) multiply+reduce pairs with one (48,S)@(S,B) pass.
+            maskb = jnp.where(rows == idx_final, 1.0, 0.0).astype(
+                jnp.bfloat16)
+            out = jax.lax.dot_general(
+                ptab[...], maskb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (48, B)
+            # Each output row is a single product (one-hot mask), so it
+            # is an exact bf16 value even if Mosaic emits the matmul
+            # with a bf16 result (observed on v5e: preferred_element_type
+            # is not always honored). Upcast BEFORE summing the pieces or
+            # the adds happen in bf16 and collapse to the hi piece.
+            f32 = lambda x: x.astype(jnp.float32)
+            p = [f32(out[k:k+1, :]) + f32(out[16+k:17+k, :])
+                 + f32(out[32+k:33+k, :]) for k in range(N_PARAMS)]
+        else:
+            maskf = jnp.where(rows == idx_final, 1.0, 0.0)   # (S, B)
+            p = [jnp.sum(maskf * ptab[:, k:k+1], axis=0, keepdims=True)
+                 for k in range(N_PARAMS)]
+        cw_x, cw_y, cw_z, r_w = p[0], p[1], p[2], p[3]
+        al_x, al_y, al_z, fz_w = p[4], p[5], p[6], p[7]
+        io_w, mat_w = p[8], p[9]
+        em_x, em_y, em_z = p[10], p[11], p[12]
+
+        # --- refinement: well-conditioned oc form, mirrors
+        # core/intersect.py (Sphere::hit, RayTracer.h:289-305) ---
+        hit = t_best < BIG
+        oc_x, oc_y, oc_z = o_x - cw_x, o_y - cw_y, o_z - cw_z
+        half_b1 = oc_x * d_x + oc_y * d_y + oc_z * d_z
+        c1 = oc_x * oc_x + oc_y * oc_y + oc_z * oc_z - r_w * r_w
+        disc1 = half_b1 * half_b1 - a * c1
+        sq1 = jnp.where(disc1 > 0.0,
+                        jnp.sqrt(jnp.where(disc1 > 0.0, disc1, 1.0)), 0.0)
+        # Stable roots — MUST match core/intersect.py refinement exactly.
+        sq_signed = jnp.where(half_b1 >= 0.0, sq1, -sq1)
+        q1 = -half_b1 - sq_signed
+        q1_safe = jnp.where(q1 == 0.0, 1.0, q1)
+        root_a = q1 / a
+        root_b = jnp.where(q1 == 0.0, 0.0, c1 / q1_safe)
+        near1 = jnp.where(half_b1 >= 0.0, root_a, root_b)
+        far1 = jnp.where(half_b1 >= 0.0, root_b, root_a)
+        near_ok1 = (near1 >= t_min) & (near1 <= BIG)
+        t_fine = jnp.where(near_ok1, near1, far1)
+        fine_ok = (disc1 >= 0.0) & (
+            near_ok1 | ((far1 >= t_min) & (far1 <= BIG)))
+        t = jnp.where(hit & fine_ok, t_fine, t_best)
+
+        # Geometry at the hit (miss lanes get benign finite values).
+        t_safe = jnp.where(hit, t, 1.0)
+        p_x = o_x + t_safe * d_x
+        p_y = o_y + t_safe * d_y
+        p_z = o_z + t_safe * d_z
+        r_safe = jnp.where(r_w == 0.0, 1.0, r_w)
+        ow_x = (p_x - cw_x) / r_safe
+        ow_y = (p_y - cw_y) / r_safe
+        ow_z = (p_z - cw_z) / r_safe
+        ff = d_x * ow_x + d_y * ow_y + d_z * ow_z < 0.0
+        sgn = jnp.where(ff, 1.0, -1.0)
+
+        write_row(r, (t, idx_final, mat_w.astype(jnp.int32),
+                      ff.astype(jnp.int32), p_x, p_y, p_z,
+                      sgn * ow_x, sgn * ow_y, sgn * ow_z,
+                      al_x, al_y, al_z, fz_w, io_w, em_x, em_y, em_z))
+
     for r in range(SUBLANE):
         row_alive = jnp.sum(alive[r:r+1, :]) > 0
 
@@ -117,76 +190,12 @@ def _fused_kernel(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz, c2r2, ptab,
                 write_row(r, (t_best, idx_final))
                 return
 
-            # --- winner-parameter extraction ---
-            if mxu_extract:
-                # One-hot matmul on the MXU: params are pre-split into three
-                # bf16-EXACT pieces (8+8+8 mantissa bits = f32's 24), the
-                # one-hot mask is exact in bf16, and MXU products accumulate
-                # in f32 with a single nonzero term per lane — so
-                # hi + mid + lo reconstructs the f32 parameter bit-exactly
-                # (tests assert equality with the XLA gather). Replaces 13
-                # VPU (S,B) multiply+reduce pairs with one (48,S)@(S,B) pass.
-                maskb = jnp.where(rows == idx_final, 1.0, 0.0).astype(
-                    jnp.bfloat16)
-                out = jax.lax.dot_general(
-                    ptab[...], maskb, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # (48, B)
-                # Each output row is a single product (one-hot mask), so it
-                # is an exact bf16 value even if Mosaic emits the matmul
-                # with a bf16 result (observed on v5e: preferred_element_type
-                # is not always honored). Upcast BEFORE summing the pieces or
-                # the adds happen in bf16 and collapse to the hi piece.
-                f32 = lambda x: x.astype(jnp.float32)
-                p = [f32(out[k:k+1, :]) + f32(out[16+k:17+k, :])
-                     + f32(out[32+k:33+k, :]) for k in range(N_PARAMS)]
-            else:
-                maskf = jnp.where(rows == idx_final, 1.0, 0.0)   # (S, B)
-                p = [jnp.sum(maskf * ptab[:, k:k+1], axis=0, keepdims=True)
-                     for k in range(N_PARAMS)]
-            cw_x, cw_y, cw_z, r_w = p[0], p[1], p[2], p[3]
-            al_x, al_y, al_z, fz_w = p[4], p[5], p[6], p[7]
-            io_w, mat_w = p[8], p[9]
-            em_x, em_y, em_z = p[10], p[11], p[12]
-
-            # --- refinement: well-conditioned oc form, mirrors
-            # core/intersect.py (Sphere::hit, RayTracer.h:289-305) ---
-            hit = t_best < BIG
-            oc_x, oc_y, oc_z = o_x - cw_x, o_y - cw_y, o_z - cw_z
-            half_b1 = oc_x * d_x + oc_y * d_y + oc_z * d_z
-            c1 = oc_x * oc_x + oc_y * oc_y + oc_z * oc_z - r_w * r_w
-            disc1 = half_b1 * half_b1 - a * c1
-            sq1 = jnp.where(disc1 > 0.0,
-                            jnp.sqrt(jnp.where(disc1 > 0.0, disc1, 1.0)), 0.0)
-            # Stable roots — MUST match core/intersect.py refinement exactly.
-            sq_signed = jnp.where(half_b1 >= 0.0, sq1, -sq1)
-            q1 = -half_b1 - sq_signed
-            q1_safe = jnp.where(q1 == 0.0, 1.0, q1)
-            root_a = q1 / a
-            root_b = jnp.where(q1 == 0.0, 0.0, c1 / q1_safe)
-            near1 = jnp.where(half_b1 >= 0.0, root_a, root_b)
-            far1 = jnp.where(half_b1 >= 0.0, root_b, root_a)
-            near_ok1 = (near1 >= t_min) & (near1 <= BIG)
-            t_fine = jnp.where(near_ok1, near1, far1)
-            fine_ok = (disc1 >= 0.0) & (
-                near_ok1 | ((far1 >= t_min) & (far1 <= BIG)))
-            t = jnp.where(hit & fine_ok, t_fine, t_best)
-
-            # Geometry at the hit (miss lanes get benign finite values).
-            t_safe = jnp.where(hit, t, 1.0)
-            p_x = o_x + t_safe * d_x
-            p_y = o_y + t_safe * d_y
-            p_z = o_z + t_safe * d_z
-            r_safe = jnp.where(r_w == 0.0, 1.0, r_w)
-            ow_x = (p_x - cw_x) / r_safe
-            ow_y = (p_y - cw_y) / r_safe
-            ow_z = (p_z - cw_z) / r_safe
-            ff = d_x * ow_x + d_y * ow_y + d_z * ow_z < 0.0
-            sgn = jnp.where(ff, 1.0, -1.0)
-
-            write_row(r, (t, idx_final, mat_w.astype(jnp.int32),
-                          ff.astype(jnp.int32), p_x, p_y, p_z,
-                          sgn * ow_x, sgn * ow_y, sgn * ow_z,
-                          al_x, al_y, al_z, fz_w, io_w, em_x, em_y, em_z))
+            # NOTE: an all-miss row gate (skip extraction+refinement when no
+            # lane hits) was tried and measured SLOWER (kernel 163 -> 181 ms
+            # per headline frame): the nested pl.when costs more in Mosaic
+            # scheduling than the skipped work saves. Unconditional here.
+            _extract_refine(r, a, t_best, idx_final, rows,
+                            o_x, o_y, o_z, d_x, d_y, d_z)
 
         @pl.when(jnp.logical_not(row_alive))
         def _(r=r):
@@ -197,7 +206,6 @@ def _fused_kernel(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz, c2r2, ptab,
                               zero, zero, zero, zero, zero, zero + 1.0,
                               zero, zero, zero, zero, zero + 1.0,
                               zero, zero, zero))
-
 
 def prep_fused_spheres(scene: SphereScene, mxu_extract: bool):
     """Kernel-layout sphere data: (S,1) sweep columns + the param table.
