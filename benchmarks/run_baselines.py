@@ -31,15 +31,22 @@ import numpy as np
 
 
 def _bench_render(name, scene, cam, cfg, iters=3):
+    import jax.numpy as jnp
+
     from qt_raytracer_tpu.core.render import render_linear
 
+    # Sync via a dependent-scalar fetch, not block_until_ready(image): the
+    # axon tunnel materializes blocked buffers on the host (see bench.py).
+    sync = lambda img: float(jnp.sum(img))
     key = jax.random.PRNGKey(0)
+    keys = [jax.block_until_ready(jax.random.fold_in(key, it))
+            for it in range(iters)]
     out = render_linear(scene, cam, cfg, key)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
-    for it in range(iters):
-        out = render_linear(scene, cam, cfg, jax.random.fold_in(key, it))
-    jax.block_until_ready(out)
+    for k in keys:
+        out = render_linear(scene, cam, cfg, k)
+    sync(out)
     dt = (time.perf_counter() - t0) / iters
     ms = cfg.width * cfg.height * cfg.spp / dt / 1e6
     print(json.dumps({
@@ -57,7 +64,7 @@ def config1(scale):
 
     side = max(int(256 * scale), 16)
     cfg = RenderConfig(width=side, height=side, spp=16, max_depth=10,
-                       rng="hash")
+                       rng="hash", intersector="fused")
     scene, cam = scenes.get_scene("three_sphere", 1.0)
     _bench_render("1_three_sphere_diffuse", scene, cam, cfg)
 
@@ -79,7 +86,8 @@ def config2(scale):
 
     side = max(int(512 * scale), 16)
     cfg = RenderConfig(width=side, height=side, spp=64, max_depth=10,
-                       nee=True, rng="hash", samples_per_batch=4)
+                       nee=True, rng="hash", samples_per_batch=4,
+                       intersector="fused")
     scene, cam = scenes.get_scene("cornell", 1.0)
     _bench_render("2_cornell_nee", scene, cam, cfg)
 
@@ -90,7 +98,8 @@ def config3(scale):
 
     side = max(int(512 * scale), 16)
     cfg = RenderConfig(width=side, height=side, spp=24, max_depth=10,
-                       rng="hash", samples_per_batch=4)
+                       rng="hash", samples_per_batch=4,
+                       intersector="fused")
     scene, cam = scenes.get_scene("glossy_dof", 1.0)
     _bench_render("3_glossy_dof", scene, cam, cfg)
 
