@@ -38,11 +38,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.mesh import TriangleMesh
 
+import os
+
 BIG = 3.0e38
 LANE = 128
 SUBLANE = 8
 GROUPS = 8                 # 128-ray groups per grid step (1024 rays)
-CLUSTER_ROWS = 4           # 128-tri rows per cluster -> G = 512 triangles
+# 128-tri rows per cluster (G = rows*128 triangles). Tunable for experiments
+# via QTRT_CLUSTER_ROWS; 4 measured best at first, see PERFORMANCE.md.
+CLUSTER_ROWS = int(os.environ.get("QTRT_CLUSTER_ROWS", "4"))
 
 
 def prep_mesh_clusters(mesh: TriangleMesh):
@@ -88,7 +92,7 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive,
                  v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
                  blox, bloy, bloz, bhix, bhiy, bhiz,
                  t_out, idx_out,
-                 counts_ref, tb_ref, ib_ref,
+                 enters_ref, counts_ref, tb_ref, ib_ref,
                  *, t_min: float, num_clusters: int, num_tris: int,
                  k_rows: int):
     tcol = lambda row: jnp.transpose(row, (1, 0))      # (1,128) -> (128,1)
@@ -106,6 +110,10 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive,
                         for c in d)
 
             # Phase 1: cluster slab tests, 128 clusters (lanes) at a time.
+            # Store each lane's ENTRY distance per cluster (BIG when the box
+            # is missed or the lane is dead): phase 2 uses it as an exact
+            # per-lane cap — a cluster whose entry exceeds a lane's running
+            # t_best cannot improve that lane.
             for kr in range(k_rows):
                 blo = (blox[kr:kr+1, :], bloy[kr:kr+1, :], bloz[kr:kr+1, :])
                 bhi = (bhix[kr:kr+1, :], bhiy[kr:kr+1, :], bhiz[kr:kr+1, :])
@@ -117,9 +125,8 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive,
                     enter = jnp.maximum(enter, jnp.minimum(t0, t1))
                     exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
                 mask = (exit_ > enter) & alive_col
-                cnt_row = jnp.sum(mask.astype(jnp.int32), axis=0,
-                                  keepdims=True)        # (1, 128)
-                counts_ref[kr * LANE:(kr + 1) * LANE, :] = tcol(cnt_row)
+                enters_ref[:, kr * LANE:(kr + 1) * LANE] = jnp.where(
+                    mask, enter, BIG)                    # (rays, clusters)
 
             tb_ref[...] = jnp.full((128, 1), BIG, jnp.float32)
             ib_ref[...] = jnp.zeros((128, 1), jnp.int32)
@@ -190,7 +197,26 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive,
                     visit(c)
                 return 0
 
-            jax.lax.fori_loop(0, num_clusters, cluster_body, 0)
+            # Exact per-lane distance cap, recomputed VECTORIZED once per
+            # 32-cluster block (per-cluster vector gates inside the loop
+            # measured 4x slower — scalarized loop work is deadly). A
+            # cluster stays gated-in only while SOME lane's box-entry can
+            # still beat that lane's running t_best (lagged by one block —
+            # conservative). Strict-inequality pruning cannot even drop a
+            # tie, so images are bitwise identical to the plain sweep.
+            CAP_BLOCK = 32
+            for b0 in range(0, num_clusters, CAP_BLOCK):
+                # (rays, clusters) <= (rays, 1) broadcast: natural layouts,
+                # no full-tile transposes (a (128,128)-transpose variant
+                # measured 4x slower than the un-capped sweep).
+                ok = enters_ref[...] <= tb_ref[...]
+                counts_row = jnp.sum(ok.astype(jnp.int32), axis=0,
+                                     keepdims=True)      # (1, clusters)
+                for kr in range(k_rows):
+                    counts_ref[kr * LANE:(kr + 1) * LANE, :] = jnp.transpose(
+                        counts_row[:, kr * LANE:(kr + 1) * LANE], (1, 0))
+                jax.lax.fori_loop(b0, min(b0 + CAP_BLOCK, num_clusters),
+                                  cluster_body, 0)
             t_out[grp:grp+1, :] = jnp.transpose(tb_ref[...], (1, 0))
             idx_out[grp:grp+1, :] = jnp.transpose(ib_ref[...], (1, 0))
 
@@ -250,9 +276,10 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
             jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((k_pad, 1), jnp.int32),      # per-cluster popcounts
-            pltpu.VMEM((128, 1), jnp.float32),      # running t_best
-            pltpu.VMEM((128, 1), jnp.int32),        # running idx_best
+            pltpu.VMEM((128, k_pad), jnp.float32),   # per-(ray,cluster) entry
+            pltpu.VMEM((k_pad, 1), jnp.int32),       # gate counts (lagged cap)
+            pltpu.VMEM((128, 1), jnp.float32),       # running t_best (col)
+            pltpu.VMEM((128, 1), jnp.int32),         # running idx_best
         ],
         cost_estimate=pl.CostEstimate(
             flops=n_pad * (k_pad * 20 + 45 * 4 * LANE),
