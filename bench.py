@@ -31,13 +31,10 @@ def main() -> None:
     from qt_raytracer_tpu.models import scenes
 
     cfg = RenderConfig(width=1920, height=1080, spp=1, max_depth=10,
-                       # 5 chunks; must be a multiple of 1024 (the Pallas ray
-                       # tile) or XLA pads+copies every kernel operand per
-                       # bounce (measured: 601 -> 465 ms/frame).
-                       pixel_chunk=414720,
-                       # flat-SoA integrator + fused hit kernel (search,
-                       # refinement and winner params in one VMEM pass).
-                       intersector="fused",
+                       # pixel_chunk=0 -> auto heuristic (resolve_pixel_chunk:
+                       # 5 x 414720-ray chunks at 1080p, multiples of the
+                       # 1024-ray Pallas tile); intersector auto -> fused on
+                       # TPU (flat-SoA integrator + fused hit kernel).
                        rng="hash")          # counter-hash RNG (fast path)
     scene, camera = scenes.get_scene("random", cfg.aspect_ratio)
     key = jax.random.PRNGKey(0)

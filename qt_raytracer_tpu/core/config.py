@@ -66,10 +66,13 @@ class RenderConfig:
     # "fused" (fused hit kernel + flat-SoA integrator — fastest forward
     # path, sphere scenes, non-differentiable), or "fused_interpret".
     intersector: str = "auto"
-    # If > 0, trace pixels in chunks of this many rays (lax.scan over chunks).
-    # Bounds the [rays, spheres] intersection intermediate: at 1080p x 128
-    # spheres the unchunked buffer is ~1 GB/bounce of HBM traffic; a 128Ki-ray
-    # chunk keeps working sets cache-friendly. 0 = no chunking.
+    # Trace pixels in chunks of this many rays (lax.scan over chunks).
+    # Bounds the per-bounce working set: at 1080p the unchunked ray state +
+    # intersection intermediates exceed what stays cache-friendly in HBM
+    # traffic terms. 0 = auto (the chooseTileSize analog,
+    # RayTracerFboItem.cpp:793-820: ~400Ki-ray chunks in multiples of the
+    # 1024-ray kernel tile, unchunked below 256Ki rays — see
+    # core/render.resolve_pixel_chunk); -1 = never chunk; >0 = explicit.
     pixel_chunk: int = 0
 
     def __post_init__(self):
@@ -85,6 +88,8 @@ class RenderConfig:
             raise ValueError(f"unknown intersector {self.intersector!r}")
         if self.rng not in ("threefry", "hash"):
             raise ValueError(f"unknown rng {self.rng!r}")
+        if self.pixel_chunk < -1:
+            raise ValueError(f"pixel_chunk must be >= -1, got {self.pixel_chunk}")
         if self.spp % self.samples_per_batch != 0:
             # round batch down to a divisor of spp so the scan is exact
             spb = self.samples_per_batch

@@ -24,6 +24,8 @@ sync (and the oracle, testing/oracle.py) when changing either.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -190,9 +192,46 @@ def trace_flat(
     Same signature contract: origins/directions [N,3], returns radiance
     [N,3]. Internally pads N up to a multiple of the 1024-ray kernel tile
     with dead rays (bit-transparent: dead rows are skipped and sliced off).
+
+    Forward-only: differentiating through this function raises (custom_vjp
+    guard) instead of silently returning zero gradients from the detached
+    Pallas outputs — gradient renders use intersector="pallas"/"xla"
+    (diff/inverse pins this automatically).
     """
     if not isinstance(scene, SphereScene):
         raise TypeError("trace_flat handles SphereScene only")
+    return _trace_flat_guarded(scene, origins, directions, sample_keys,
+                               max_depth, float(t_min), bool(nee),
+                               int(rr_start), bool(interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _trace_flat_guarded(scene, origins, directions, sample_keys,
+                        max_depth, t_min, nee, rr_start, interpret):
+    return _trace_flat_impl(scene, origins, directions, sample_keys,
+                            max_depth, t_min, nee, rr_start, interpret)
+
+
+def _trace_flat_fwd(scene, origins, directions, sample_keys,
+                    max_depth, t_min, nee, rr_start, interpret):
+    out = _trace_flat_impl(scene, origins, directions, sample_keys,
+                           max_depth, t_min, nee, rr_start, interpret)
+    return out, None
+
+
+def _trace_flat_bwd(max_depth, t_min, nee, rr_start, interpret, res, g):
+    raise ValueError(
+        "trace_flat (intersector='fused') is forward-only: the fused Pallas "
+        "kernel detaches every hit quantity, so gradients would be silently "
+        "zero. Use intersector='pallas' (TPU) or 'xla' for gradient renders "
+        "(diff/inverse.make_train_step does this automatically).")
+
+
+_trace_flat_guarded.defvjp(_trace_flat_fwd, _trace_flat_bwd)
+
+
+def _trace_flat_impl(scene, origins, directions, sample_keys,
+                     max_depth, t_min, nee, rr_start, interpret):
     n = origins.shape[0]
     n_pad = (-n) % TILE
 
@@ -210,9 +249,12 @@ def trace_flat(
 
     zero = ox * 0.0
     one = zero + 1.0
-    true_mask = zero == 0.0
-    alive0 = true_mask if not n_pad else padf(jnp.ones((n,), jnp.float32))[
-        : n + n_pad] > 0.0
+    # Derive the initial alive mask from the ray INPUTS (not a fresh
+    # constant): under shard_map a constant is "unvarying" over mesh axes
+    # while the scan output varies, and lax.scan requires carry types to
+    # match exactly (same workaround as integrator.trace's zero3 carries).
+    # Padding lanes (constant 0 directions) come out dead, as required.
+    alive0 = padf(origins[:, 0] * 0.0 + 1.0) > 0.5
     state = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
              alive0, alive0)  # ..., alive, emit_ok
 

@@ -27,10 +27,40 @@ from .scene import SphereScene
 
 def resolve_intersector(cfg: RenderConfig) -> str:
     """Map cfg.intersector "auto" to the platform default: the fused Pallas
-    search on TPU, the portable XLA search elsewhere."""
+    fast path on TPU (falls back to the v1 kernel for mesh worlds inside
+    _trace_dispatch), the portable XLA search elsewhere. Gradient renders
+    must not use "fused" (forward-only); diff/inverse pins a grad-capable
+    backend and trace_flat's custom_vjp raises if differentiated anyway."""
     if cfg.intersector != "auto":
         return cfg.intersector
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return "fused" if jax.default_backend() == "tpu" else "xla"
+
+
+# Auto-chunk heuristic constants (the chooseTileSize/chooseMaxUploadsPerFrame
+# analog, RayTracerFboItem.cpp:793-848, re-derived for TPU economics):
+#   - chunks must be multiples of the 1024-ray Pallas tile or XLA pads +
+#     copies every kernel operand per bounce (measured 601 -> 465 ms/frame);
+#   - ~400Ki-ray chunks hit the sweet spot at 1080p (4-5 chunks; measured
+#     best across 1..8 on v5e, docs/PERFORMANCE.md);
+#   - below 256Ki rays one launch underfills the chip already — don't split.
+_CHUNK_TILE = 1024
+_CHUNK_TARGET = 414720          # ~405 tiles; 5 chunks at 1920x1080
+_CHUNK_MIN_RAYS = 262144
+
+
+def resolve_pixel_chunk(cfg: RenderConfig) -> int:
+    """Effective pixel chunk size: cfg.pixel_chunk, or the auto heuristic
+    when it is 0 (-1 disables chunking). Returns 0 for "no chunking"."""
+    if cfg.pixel_chunk > 0:
+        return cfg.pixel_chunk
+    if cfg.pixel_chunk < 0:
+        return 0
+    n = cfg.num_pixels
+    if n < _CHUNK_MIN_RAYS:
+        return 0
+    n_chunks = max(2, round(n / _CHUNK_TARGET))
+    per_chunk = -(-n // n_chunks)
+    return -(-per_chunk // _CHUNK_TILE) * _CHUNK_TILE
 
 
 def _trace_dispatch(scene, origins, directions, samp_keys, cfg: RenderConfig):
@@ -139,7 +169,7 @@ def render_linear(
         return accum
 
     n = cfg.num_pixels
-    chunk = cfg.pixel_chunk
+    chunk = resolve_pixel_chunk(cfg)
     if chunk <= 0 or chunk >= n:
         accum = render_chunk(pix_keys, i, j)
     else:

@@ -26,12 +26,23 @@ import jax.numpy as jnp
 import optax
 
 from ..core.config import RenderConfig
-from ..core.render import render_linear
+from ..core.render import render_linear, resolve_intersector
 from ..core.scene import SphereScene
 from ..parallel.sharding import render_linear_sharded
 
 # Scene fields exposed to the optimizer by default.
 DEFAULT_TRAINABLE = ("albedo", "emission")
+
+
+def grad_capable_config(cfg: RenderConfig) -> RenderConfig:
+    """Pin a differentiable intersector: the fused flat path is forward-only
+    (its custom_vjp raises), so gradient renders route through the v1 Pallas
+    kernel + XLA re-derives instead."""
+    resolved = resolve_intersector(cfg)
+    if resolved in ("fused", "fused_interpret"):
+        pinned = "pallas" if resolved == "fused" else "pallas_interpret"
+        return dataclasses.replace(cfg, intersector=pinned)
+    return cfg
 
 
 def split_scene(scene: SphereScene, trainable=DEFAULT_TRAINABLE):
@@ -81,6 +92,7 @@ def make_train_step(
     the forward/backward shards over ("sp","px") and shard_map's transpose
     psums the parameter gradients over ICI automatically.
     """
+    cfg = grad_capable_config(cfg)
     scene_params, rebuild_scene = split_scene(scene, trainable)
     params = {"scene": scene_params}
     if train_camera:

@@ -197,19 +197,23 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive,
                     visit(c)
                 return 0
 
-            # Exact per-lane distance cap, recomputed VECTORIZED once per
+            # Per-lane distance cap, recomputed VECTORIZED once per
             # 32-cluster block (per-cluster vector gates inside the loop
             # measured 4x slower — scalarized loop work is deadly). A
             # cluster stays gated-in only while SOME lane's box-entry can
             # still beat that lane's running t_best (lagged by one block —
-            # conservative). Strict-inequality pruning cannot even drop a
-            # tie, so images are bitwise identical to the plain sweep.
+            # conservative). The cap carries ulp slack: slab entry and
+            # Möller-Trumbore t are rounded differently in f32, so for
+            # box-face-coincident triangles (tight hulls: every cluster has
+            # some) the computed entry can exceed the computed winning t by
+            # a few ulps — the slack keeps pruning strictly conservative,
+            # so images stay bitwise identical to the plain sweep.
             CAP_BLOCK = 32
             for b0 in range(0, num_clusters, CAP_BLOCK):
                 # (rays, clusters) <= (rays, 1) broadcast: natural layouts,
                 # no full-tile transposes (a (128,128)-transpose variant
                 # measured 4x slower than the un-capped sweep).
-                ok = enters_ref[...] <= tb_ref[...]
+                ok = enters_ref[...] <= tb_ref[...] * 1.0001 + 1e-4
                 counts_row = jnp.sum(ok.astype(jnp.int32), axis=0,
                                      keepdims=True)      # (1, clusters)
                 for kr in range(k_rows):

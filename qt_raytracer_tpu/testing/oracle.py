@@ -125,10 +125,9 @@ def _hit_mesh_brute(mesh, o, d, t_min, t_max):
 def _hit_scene(scene, o, d, t_min):
     """Closest sphere hit; mirrors Sphere::hit + argmin tie-break.
 
-    The renderer's refinement uses the numerically stable (Citardauq) root
-    form; in float64 the naive form below agrees with it to ~1e-12 relative,
-    far inside every golden tolerance, so the oracle keeps the reference's
-    literal recipe (RayTracer.h:289-305)."""
+    Roots use the renderer's numerically stable Citardauq form
+    (core/intersect.py refinement; same math as RayTracer.h:289-305, exact
+    in f64) so the oracle stays a LITERAL mirror of the renderer."""
     centers = scene["center"]
     radii = scene["radius"]
     active = scene["active"]
@@ -145,9 +144,15 @@ def _hit_scene(scene, o, d, t_min):
         if disc < 0:
             continue
         sqrtd = np.sqrt(disc)
-        root = (-half_b - sqrtd) / a
+        # Citardauq: q carries the non-cancelling sum; the other root is c/q.
+        q = -half_b - (sqrtd if half_b >= 0.0 else -sqrtd)
+        root_a = q / a
+        root_b = 0.0 if q == 0.0 else c / q
+        near = root_a if half_b >= 0.0 else root_b
+        far = root_b if half_b >= 0.0 else root_a
+        root = near
         if root < t_min or root > best_t:
-            root = (-half_b + sqrtd) / a
+            root = far
             if root < t_min or root > best_t:
                 continue
         if root < best_t:  # strict: ties keep the earlier (lower) index

@@ -190,3 +190,35 @@ def test_fused_on_mesh_world_falls_back_to_standard():
         scene, cam, RenderConfig(intersector="pallas_interpret", **kw), key))
     b = np.asarray(render_linear(scene, cam, _cfg(**kw), key))
     np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------------------------ forward-only
+def test_trace_flat_gradients_raise():
+    # The fused path detaches every hit quantity; differentiating through it
+    # must raise (not silently return zero gradients). ADVICE r1 (medium).
+    from qt_raytracer_tpu.core.integrator_flat import trace_flat
+    scene, cam = scenes.get_scene("three_sphere", 1.0)
+    o = jnp.zeros((8, 3)) + jnp.array([0.0, 2.0, 8.0])
+    d = jnp.tile(jnp.array([[0.0, -0.1, -1.0]]), (8, 1))
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(0), i))(
+        jnp.arange(8, dtype=jnp.uint32))
+
+    def loss(albedo):
+        import dataclasses
+        sc = dataclasses.replace(scene, albedo=albedo)
+        rad = trace_flat(sc, o, d, keys, 3, interpret=True)
+        return jnp.sum(rad)
+
+    with pytest.raises(ValueError, match="forward-only"):
+        jax.grad(loss)(scene.albedo)
+
+
+def test_make_train_step_pins_grad_capable_intersector():
+    from qt_raytracer_tpu.diff.inverse import grad_capable_config
+    assert grad_capable_config(
+        RenderConfig(intersector="fused")).intersector == "pallas"
+    assert grad_capable_config(
+        RenderConfig(intersector="fused_interpret")).intersector == \
+        "pallas_interpret"
+    assert grad_capable_config(
+        RenderConfig(intersector="xla")).intersector == "xla"

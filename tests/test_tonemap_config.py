@@ -53,3 +53,22 @@ def test_bad_quantizer_rejected():
 def test_samples_per_batch_rounded_to_divisor():
     cfg = RenderConfig(spp=24, samples_per_batch=7)
     assert cfg.spp % cfg.samples_per_batch == 0
+
+
+def test_pixel_chunk_auto_heuristic():
+    # The chooseTileSize analog (VERDICT r1 item 7): 0 = auto, -1 = off.
+    from qt_raytracer_tpu.core.render import resolve_pixel_chunk
+    from qt_raytracer_tpu.core.config import RenderConfig
+    # Small images: one launch already underfills the chip -> no chunking.
+    assert resolve_pixel_chunk(RenderConfig(width=400, height=225)) == 0
+    # 1080p: ~400Ki-ray chunks, multiples of the 1024-ray kernel tile.
+    c = resolve_pixel_chunk(RenderConfig(width=1920, height=1080))
+    assert c == 414720 and c % 1024 == 0
+    # 4K: still chunked in tile multiples covering the image.
+    c4 = resolve_pixel_chunk(RenderConfig(width=3840, height=2160))
+    assert c4 % 1024 == 0 and 0 < c4 <= 3840 * 2160
+    # Explicit values pass through; -1 disables.
+    assert resolve_pixel_chunk(
+        RenderConfig(width=1920, height=1080, pixel_chunk=2048)) == 2048
+    assert resolve_pixel_chunk(
+        RenderConfig(width=1920, height=1080, pixel_chunk=-1)) == 0
