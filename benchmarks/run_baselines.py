@@ -85,11 +85,13 @@ def config2(scale):
     from qt_raytracer_tpu.models import scenes
 
     side = max(int(512 * scale), 16)
+    # TRUE Cornell box: quad walls + emissive ceiling QUAD (area light),
+    # NEE with MIS over sphere + triangle lights. The mesh world routes the
+    # intersector to the pallas mesh kernel automatically.
     cfg = RenderConfig(width=side, height=side, spp=64, max_depth=10,
-                       nee=True, rng="hash", samples_per_batch=4,
-                       intersector="fused")
-    scene, cam = scenes.get_scene("cornell", 1.0)
-    _bench_render("2_cornell_nee", scene, cam, cfg)
+                       nee=True, rng="hash", samples_per_batch=4)
+    scene, cam = scenes.get_scene("cornell_mesh", 1.0)
+    _bench_render("2_cornell_area_light_nee_mis", scene, cam, cfg)
 
 
 def config3(scale):

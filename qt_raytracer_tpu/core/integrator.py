@@ -13,8 +13,17 @@ Semantics map (bounce b, alive ray):
     miss           -> radiance += throughput * sky(d);        die
     hit, scatter   -> throughput *= attenuation;              continue
     hit, absorbed  -> die (black, RayTracer.h:590)
-    hit, emissive  -> radiance += throughput * emission;      die (NEE ext.)
+    hit, emissive  -> radiance += throughput * emission * w;  die (NEE ext.)
     depth exhausted-> contributes 0 (depth<=0 -> black, RayTracer.h:582)
+
+Next-event estimation (nee=True; no reference analog, BASELINE config 2):
+one-sample MIS between light sampling and BSDF sampling with the balance
+heuristic. At every diffuse hit one light (emissive sphere OR triangle) is
+picked uniformly and sampled (cone / uniform-area respectively); the
+contribution uses the combined form f * cos / (pdf_nee + pdf_bsdf), and when
+a BSDF-sampled diffuse ray then hits an emitter, its emission is weighted by
+prev_pdf / (prev_pdf + pdf_nee(hit)) instead of being double-counted.
+Specular-generated and camera rays take emitter hits at full weight.
 """
 
 from __future__ import annotations
@@ -25,9 +34,10 @@ import jax
 import jax.numpy as jnp
 
 from . import materials, sampling, vecmath as vm
-from .intersect import intersect_spheres, packed_param_table
-from .world import World, as_world, intersect_world
+from .world import World, WorldLights, as_world, intersect_world, world_lights
 from .scene import LAMBERTIAN, SphereScene
+
+INV_PI = 0.3183098861837907
 
 
 class RayState(NamedTuple):
@@ -36,8 +46,9 @@ class RayState(NamedTuple):
     throughput: jnp.ndarray  # [N,3]
     radiance: jnp.ndarray    # [N,3]
     alive: jnp.ndarray       # [N] bool
-    emit_ok: jnp.ndarray     # [N] bool: emitter hit counts (False right after
-    #                          a diffuse bounce when NEE already sampled it)
+    prev_pdf: jnp.ndarray    # [N] solid-angle pdf of the bounce that produced
+    #                          this ray (cosine/pi for diffuse); -1 = camera
+    #                          or specular ray -> emitter hits at full weight
 
 
 def _onb(w):
@@ -51,56 +62,118 @@ def _onb(w):
     return t1, t2
 
 
-def _nee_contribution(world: World, hits, normal, throughput,
-                      diffuse_mask, uniforms, t_min, intersector):
-    """Next-event estimation: direct light via solid-angle (cone) sampling of
-    a uniformly chosen emissive sphere, one shadow-ray wavefront.
+def _sphere_solid_angle_pdf(center, radius, from_point):
+    """Solid-angle pdf of cone sampling a sphere light from a point
+    (0 where the sampler could not produce the direction: inside the
+    sphere, or a degenerate cone). Uses the stable 1-cos_max =
+    sin2/(1+cos_max) form (no cancellation for small/far lights)."""
+    to_l = center - from_point
+    dist2 = vm.length_squared(to_l)
+    outside = dist2 > radius * radius * 1.0001
+    sin2 = jnp.clip(radius * radius / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
+    cos_max = vm.safe_sqrt(1.0 - sin2)
+    omc = sin2 / (1.0 + cos_max)                 # = 1 - cos_max, stable
+    ok = outside & (omc > 1e-12)
+    pdf = jnp.where(ok, 1.0 / jnp.maximum(2.0 * jnp.pi * omc, 1e-30), 0.0)
+    return pdf, ok, cos_max, to_l, dist2
 
-    No reference analog (BASELINE config 2 extension). Estimator: for light
-    with center c, radius r seen from p under half-angle cos_max,
-    pdf_dir = 1/(2*pi*(1-cos_max)); the reference-consistent diffuse BRDF is
-    albedo/pi (core/materials.py samples cosine-weighted with attenuation =
-    albedo), so
 
-        L += T * albedo/pi * cos_surf * Le * 2*pi*(1-cos_max) * n_lights
+def _nee_mis(world: World, lights: WorldLights, hits, throughput,
+             diffuse_mask, uniforms, t_min, intersector):
+    """One-sample MIS next-event estimation over the unified light table.
+
+    Estimator (balance heuristic, light-sample side): for the uniformly
+    picked light j with solid-angle pdf p_j,
+
+        L += T * albedo/pi * cos_surf * Le / (p_j/L + cos_surf/pi)
+
+    (the 1/pdf and the MIS weight combine into one denominator — no infs for
+    degenerate cones). Uniform slots: 4 = pick, 5/6 = cone angles (sphere) or
+    barycentrics (triangle); identical to the pre-MIS layout.
     """
-    scene = world.spheres
+    n_lights = lights.n_total
+    ns = lights.n_sphere
     u4, u5, u6 = uniforms[:, 4], uniforms[:, 5], uniforms[:, 6]
-    n_lights = scene.max_lights
 
     pick = jnp.clip((u4 * n_lights).astype(jnp.int32), 0, n_lights - 1)
-    light = scene.light_idx[pick]                        # [N] (-1 = no light)
-    has_light = light >= 0
-    light_safe = jnp.maximum(light, 0)
-    # One packed row-gather for all light params (same economics as Hits).
-    lp = packed_param_table(scene)[light_safe]
-    lc, lr, le = lp[:, 0:3], lp[:, 3], lp[:, 10:13]
+    row = lights.table[pick]                               # [N,16]
+    exp_prim = lights.expected_prim[pick]
+    is_tri = pick >= ns
 
     p = hits.point
-    to_l = lc - p
-    dist2 = vm.length_squared(to_l)
-    outside = dist2 > lr * lr * 1.0001
-    sin2_max = jnp.clip(lr * lr / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
-    cos_max = vm.safe_sqrt(1.0 - sin2_max)
+    normal = hits.normal
 
-    w = vm.safe_unit_vector(to_l)
-    cos_s = 1.0 - u5 * (1.0 - cos_max)
-    sin_s = vm.safe_sqrt(1.0 - cos_s * cos_s)
+    # --- sphere light: cone sample (RayTracer-free extension) ---
+    lc, lr = row[:, 0:3], row[:, 3]
+    pdf_sph, ok_sph, cos_max, _, _ = _sphere_solid_angle_pdf(lc, lr, p)
+    w_axis = vm.safe_unit_vector(lc - p)
+    cos_a = 1.0 - u5 * (1.0 - cos_max)
+    sin_a = vm.safe_sqrt(1.0 - cos_a * cos_a)
     phi = 2.0 * jnp.pi * u6
-    t1, t2 = _onb(w)
-    ldir = (sin_s * jnp.cos(phi))[:, None] * t1 \
-        + (sin_s * jnp.sin(phi))[:, None] * t2 + cos_s[:, None] * w
+    t1, t2 = _onb(w_axis)
+    dir_sph = (sin_a * jnp.cos(phi))[:, None] * t1 \
+        + (sin_a * jnp.sin(phi))[:, None] * t2 + cos_a[:, None] * w_axis
+
+    # --- triangle light: uniform-area sample ---
+    v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+    flip = u5 + u6 > 1.0
+    bu = jnp.where(flip, 1.0 - u5, u5)
+    bv = jnp.where(flip, 1.0 - u6, u6)
+    p_l = v0 + bu[:, None] * e1 + bv[:, None] * e2
+    wv = p_l - p
+    d2 = vm.length_squared(wv)
+    dir_tri = vm.safe_unit_vector(wv)
+    cr = jnp.cross(e1, e2)
+    two_area = vm.safe_sqrt(vm.length_squared(cr))
+    area = 0.5 * two_area
+    n_l = cr / jnp.maximum(two_area, 1e-20)[:, None]
+    cos_l = jnp.abs(vm.dot(n_l, dir_tri))
+    ok_tri = (d2 > 1e-12) & (cos_l > 1e-7) & (area > 1e-20)
+    pdf_tri = jnp.where(
+        ok_tri, d2 / jnp.maximum(cos_l * area, 1e-30), 0.0)
+
+    ldir = jnp.where(is_tri[:, None], dir_tri, dir_sph)    # unit
+    pdf_j = jnp.where(is_tri, pdf_tri, pdf_sph)
+    valid = jnp.where(is_tri, ok_tri, ok_sph)
 
     cos_surf = vm.dot(normal, ldir)
-    cand = diffuse_mask & has_light & outside & (cos_surf > 0.0)
+    cand = diffuse_mask & valid & (cos_surf > 0.0)
 
     shadow = intersect_world(world, p, ldir, t_min, backend=intersector,
                              alive=cand)
-    lit = cand & shadow.hit & (shadow.prim_idx == light_safe)
+    lit = cand & shadow.hit & (shadow.prim_idx == exp_prim)
 
-    weight = 2.0 * (1.0 - cos_max) * n_lights            # 2pi/pdf_norm / pi
-    contrib = throughput * hits.albedo * (cos_surf * weight)[:, None] * le
+    le = row[:, 9:12]
+    pdf_nee = pdf_j / n_lights
+    denom = pdf_nee + cos_surf * INV_PI                    # balance heuristic
+    factor = cos_surf * INV_PI / jnp.maximum(denom, 1e-30)
+    contrib = throughput * hits.albedo * factor[:, None] * le
     return jnp.where(lit[:, None], contrib, 0.0)
+
+
+def _emitter_mis_weight(world: World, lights: WorldLights, hits, origin,
+                        prev_pdf):
+    """Balance-heuristic weight for BSDF-sampled emitter hits: the pdf with
+    which NEE *would have* sampled this exact direction from this ray's
+    origin (same guards as _nee_mis, so the two sides partition to 1)."""
+    num_spheres = world.spheres.num_spheres
+    is_sphere = hits.prim_idx < num_spheres
+    outward = jnp.where(hits.front_face[:, None], hits.normal, -hits.normal)
+    center = hits.point - hits.radius[:, None] * outward
+    pdf_sph, _, _, _, _ = _sphere_solid_angle_pdf(center, hits.radius, origin)
+
+    wv = hits.point - origin
+    d2 = vm.length_squared(wv)
+    w_hat = vm.safe_unit_vector(wv)
+    cos_l = jnp.abs(vm.dot(hits.normal, w_hat))            # unit geom normal
+    ok_tri = (d2 > 1e-12) & (cos_l > 1e-7) & (hits.area > 1e-20)
+    pdf_tri = jnp.where(
+        ok_tri, d2 / jnp.maximum(cos_l * hits.area, 1e-30), 0.0)
+
+    pdf_nee = jnp.where(is_sphere, pdf_sph, pdf_tri) / lights.n_total
+    use_mis = prev_pdf > 0.0
+    denom = jnp.where(use_mis, prev_pdf + pdf_nee, 1.0)
+    return jnp.where(use_mis, prev_pdf / denom, 1.0)
 
 
 def sky_color(directions):
@@ -128,9 +201,11 @@ def trace(
     sample_keys: [N] per-ray threefry keys; bounce b consumes stream
     STREAM_BOUNCE0+b (counter-based, shard-invariant).
 
-    nee: enable next-event estimation (direct light sampling on diffuse hits
-    plus emitter-hit suppression after diffuse bounces; unbiased, massively
-    lower variance in enclosed emissive scenes like the Cornell box).
+    nee: enable MIS next-event estimation (direct light sampling at diffuse
+    hits over ALL emissive primitives — spheres and mesh faces — with
+    balance-heuristic weighting of BSDF-sampled emitter hits; unbiased,
+    massively lower variance in enclosed emissive scenes like the Cornell
+    box). Compiled out when the world has no lights.
 
     rr_start: Russian-roulette termination from this bounce index on
     (0 = off, reference semantics). Survival probability = clamp(max
@@ -141,6 +216,9 @@ def trace(
     scene may be a SphereScene or a World (spheres + triangle mesh).
     """
     world = as_world(scene)
+    lights = world_lights(world)
+    do_nee = bool(nee) and lights.n_total > 0
+
     # Derive the initial carry from the ray inputs (origins * 0) rather than
     # fresh constants: under shard_map, constants are "unvarying" over mesh
     # axes while the loop output varies, and lax.scan requires carry types to
@@ -153,7 +231,7 @@ def trace(
         throughput=zero3 + 1.0,
         radiance=zero3,
         alive=true_mask,
-        emit_ok=true_mask,
+        prev_pdf=zero3[..., 0] - 1.0,
     )
 
     def bounce(state: RayState, depth_idx):
@@ -171,23 +249,25 @@ def trace(
         )
 
         miss = state.alive & ~hits.hit
-        # NEE suppression applies only to sphere lights (the light table);
-        # emissive MESH hits are never NEE-sampled, so they must always count
-        # or their energy would be lost.
-        is_mesh_hit = hits.prim_idx >= world.spheres.num_spheres
-        emit_hit = state.alive & hits.hit & (state.emit_ok | is_mesh_hit)
+        emit_hit = state.alive & hits.hit
+        if do_nee:
+            emit_w = _emitter_mis_weight(world, lights, hits, state.origin,
+                                         state.prev_pdf)
+        else:
+            emit_w = 1.0 + zero3[:, 0]
         radiance = state.radiance
         radiance = radiance + jnp.where(
             miss[:, None], state.throughput * sky_color(state.direction), 0.0
         )
         radiance = radiance + jnp.where(
-            emit_hit[:, None], state.throughput * sc.emitted, 0.0
+            emit_hit[:, None], state.throughput * sc.emitted * emit_w[:, None],
+            0.0
         )
 
         diffuse_hit = state.alive & hits.hit & (hits.mat_type == LAMBERTIAN)
-        if nee:
-            radiance = radiance + _nee_contribution(
-                world, hits, hits.normal, state.throughput, diffuse_hit,
+        if do_nee:
+            radiance = radiance + _nee_mis(
+                world, lights, hits, state.throughput, diffuse_hit,
                 uniforms, t_min, intersector)
 
         continues = state.alive & hits.hit & sc.ok
@@ -203,12 +283,19 @@ def trace(
             continues = continues & (~do_rr | survive)
         origin = jnp.where(continues[:, None], hits.point, state.origin)
         direction = jnp.where(continues[:, None], sc.direction, state.direction)
-        # After a diffuse bounce with NEE, the next emitter hit is already
-        # accounted for by the shadow ray — suppress it (no double counting).
-        emit_ok = ~diffuse_hit if nee else true_mask
+        # pdf of the bounce that produced the continuing ray: cosine/pi for
+        # diffuse (the next emitter hit is MIS-weighted), -1 sentinel for
+        # specular (full weight) — only tracked when NEE is on.
+        if do_nee:
+            cos_next = vm.dot(hits.normal, vm.safe_unit_vector(sc.direction))
+            pdf_next = jnp.where(diffuse_hit & continues,
+                                 jnp.maximum(cos_next, 0.0) * INV_PI, -1.0)
+            prev_pdf = jnp.where(continues, pdf_next, state.prev_pdf)
+        else:
+            prev_pdf = state.prev_pdf
 
         return RayState(origin, direction, throughput, radiance, continues,
-                        emit_ok), None
+                        prev_pdf), None
 
     state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth), unroll=1)
     return state.radiance

@@ -35,6 +35,7 @@ from .scene import DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL, SphereScene
 from ..kernels.fused_hit import BIG, TILE, fused_hit_pallas
 
 TWO_PI = 6.283185307179586
+INV_PI = 0.3183098861837907
 
 
 def _safe_rsqrt_len2(x, y, z):
@@ -123,24 +124,33 @@ def _scatter_flat(mat, ax, ay, az, fuzz, ior, ex, ey, ez,
     return (sdx, sdy, sdz, atx, aty, atz, ok, emx, emy, emz, is_lam)
 
 
-def _nee_flat(scene, px, py, pz, nx, ny, nz, ax, ay, az, tx, ty, tz,
-              diffuse, uni, t_min, interpret):
-    """_nee_contribution on flat components (same estimator & slots)."""
-    u4, u5, u6 = uni[:, 4], uni[:, 5], uni[:, 6]
-    n_lights = scene.max_lights
-    pick = jnp.clip((u4 * n_lights).astype(jnp.int32), 0, n_lights - 1)
-    light = scene.light_idx[pick]
-    has_light = light >= 0
-    light_safe = jnp.maximum(light, 0)
-    lp = packed_param_table(scene)[light_safe]
-    lcx, lcy, lcz, lr = lp[:, 0], lp[:, 1], lp[:, 2], lp[:, 3]
-    lex, ley, lez = lp[:, 10], lp[:, 11], lp[:, 12]
-
+def _sphere_pdf_flat(lcx, lcy, lcz, lr, px, py, pz):
+    """Solid-angle cone pdf on flat components; mirrors
+    integrator._sphere_solid_angle_pdf exactly."""
     tox, toy, toz = lcx - px, lcy - py, lcz - pz
     dist2 = tox * tox + toy * toy + toz * toz
     outside = dist2 > lr * lr * 1.0001
     sin2 = jnp.clip(lr * lr / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
     cos_max = _safe_sqrt(1.0 - sin2)
+    omc = sin2 / (1.0 + cos_max)
+    ok = outside & (omc > 1e-12)
+    pdf = jnp.where(ok, 1.0 / jnp.maximum(TWO_PI * omc, 1e-30), 0.0)
+    return pdf, ok, cos_max, (tox, toy, toz)
+
+
+def _nee_flat(scene, px, py, pz, nx, ny, nz, ax, ay, az, tx, ty, tz,
+              diffuse, uni, t_min, interpret):
+    """_nee_mis on flat components (sphere lights; same estimator & slots)."""
+    u4, u5, u6 = uni[:, 4], uni[:, 5], uni[:, 6]
+    n_lights = scene.num_lights
+    pick = jnp.clip((u4 * n_lights).astype(jnp.int32), 0, n_lights - 1)
+    light = scene.light_idx[pick]
+    lp = packed_param_table(scene)[light]
+    lcx, lcy, lcz, lr = lp[:, 0], lp[:, 1], lp[:, 2], lp[:, 3]
+    lex, ley, lez = lp[:, 10], lp[:, 11], lp[:, 12]
+
+    pdf_j, ok, cos_max, (tox, toy, toz) = _sphere_pdf_flat(
+        lcx, lcy, lcz, lr, px, py, pz)
 
     _, winv = _safe_rsqrt_len2(tox, toy, toz)
     wx, wy, wz = tox * winv, toy * winv, toz * winv
@@ -159,21 +169,39 @@ def _nee_flat(scene, px, py, pz, nx, ny, nz, ax, ay, az, tx, ty, tz,
     ldz = sc * t1z + ss * t2z + cos_s * wz
 
     cos_surf = nx * ldx + ny * ldy + nz * ldz
-    cand = diffuse & has_light & outside & (cos_surf > 0.0)
+    cand = diffuse & ok & (cos_surf > 0.0)
 
     sh = fused_hit_pallas(scene, px, py, pz, ldx, ldy, ldz, cand,
                           float(t_min), shadow_only=True,
                           interpret=interpret)
-    lit = cand & (sh["t"] < BIG) & (sh["idx"] == light_safe)
+    lit = cand & (sh["t"] < BIG) & (sh["idx"] == light)
 
-    weight = 2.0 * (1.0 - cos_max) * n_lights
-    cw = cos_surf * weight
-    cx = tx * ax * cw * lex
-    cy = ty * ay * cw * ley
-    cz = tz * az * cw * lez
+    # One-sample MIS, balance heuristic: 1/pdf_nee and the weight combine
+    # into a single denominator (mirrors integrator._nee_mis).
+    pdf_nee = pdf_j / n_lights
+    denom = pdf_nee + cos_surf * INV_PI
+    factor = cos_surf * INV_PI / jnp.maximum(denom, 1e-30)
+    cx = tx * ax * factor * lex
+    cy = ty * ay * factor * ley
+    cz = tz * az * factor * lez
     zero = jnp.zeros_like(cx)
     return (jnp.where(lit, cx, zero), jnp.where(lit, cy, zero),
             jnp.where(lit, cz, zero))
+
+
+def _emit_weight_flat(h, ox, oy, oz, prev_pdf, n_lights):
+    """Balance-heuristic weight for BSDF-sampled emitter hits (mirrors
+    integrator._emitter_mis_weight, sphere lights only)."""
+    ff = h["ff"] > 0
+    sgn = jnp.where(ff, 1.0, -1.0)
+    lcx = h["px"] - h["rw"] * sgn * h["nx"]
+    lcy = h["py"] - h["rw"] * sgn * h["ny"]
+    lcz = h["pz"] - h["rw"] * sgn * h["nz"]
+    pdf_sph, _, _, _ = _sphere_pdf_flat(lcx, lcy, lcz, h["rw"], ox, oy, oz)
+    pdf_nee = pdf_sph / n_lights
+    use = prev_pdf > 0.0
+    denom = jnp.where(use, prev_pdf + pdf_nee, 1.0)
+    return jnp.where(use, prev_pdf / denom, 1.0)
 
 
 def trace_flat(
@@ -255,12 +283,13 @@ def _trace_flat_impl(scene, origins, directions, sample_keys,
     # match exactly (same workaround as integrator.trace's zero3 carries).
     # Padding lanes (constant 0 directions) come out dead, as required.
     alive0 = padf(origins[:, 0] * 0.0 + 1.0) > 0.5
+    do_nee = bool(nee) and scene.num_lights > 0
     state = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
-             alive0, alive0)  # ..., alive, emit_ok
+             alive0, zero - 1.0)  # ..., alive, prev_pdf (-1 = full weight)
 
     def bounce(state, depth_idx):
         (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
-         alive, emit_ok) = state
+         alive, prev_pdf) = state
         h = fused_hit_pallas(scene, ox, oy, oz, dx, dy, dz, alive,
                              float(t_min), interpret=interpret)
         hit = h["t"] < BIG
@@ -276,18 +305,23 @@ def _trace_flat_impl(scene, origins, directions, sample_keys,
             h["nx"], h["ny"], h["nz"], ff, uni)
 
         miss = alive & ~hit
-        emit_hit = alive & hit & emit_ok
+        emit_hit = alive & hit
+        if do_nee:
+            emit_w = _emit_weight_flat(h, ox, oy, oz, prev_pdf,
+                                       scene.num_lights)
+        else:
+            emit_w = 1.0
         skx, sky_, skz = _sky(dx, dy, dz)
         zero_ = rx * 0.0
         rx = rx + jnp.where(miss, tx * skx, zero_)
         ry = ry + jnp.where(miss, ty * sky_, zero_)
         rz = rz + jnp.where(miss, tz * skz, zero_)
-        rx = rx + jnp.where(emit_hit, tx * emx, zero_)
-        ry = ry + jnp.where(emit_hit, ty * emy, zero_)
-        rz = rz + jnp.where(emit_hit, tz * emz, zero_)
+        rx = rx + jnp.where(emit_hit, tx * emx * emit_w, zero_)
+        ry = ry + jnp.where(emit_hit, ty * emy * emit_w, zero_)
+        rz = rz + jnp.where(emit_hit, tz * emz * emit_w, zero_)
 
         diffuse = alive & hit & is_lam
-        if nee:
+        if do_nee:
             nx_, ny_, nz_ = _nee_flat(
                 scene, h["px"], h["py"], h["pz"], h["nx"], h["ny"], h["nz"],
                 h["ax"], h["ay"], h["az"], tx, ty, tz, diffuse, uni,
@@ -314,9 +348,16 @@ def _trace_flat_impl(scene, origins, directions, sample_keys,
         dx = jnp.where(continues, sdx, dx)
         dy = jnp.where(continues, sdy, dy)
         dz = jnp.where(continues, sdz, dz)
-        emit_ok = ~diffuse if nee else (zero_ == 0.0)
+        if do_nee:
+            # pdf of the bounce that produced the continuing ray (mirrors
+            # integrator.trace): cosine/pi for diffuse, -1 for specular.
+            _, sinv = _safe_rsqrt_len2(sdx, sdy, sdz)
+            cos_next = (h["nx"] * sdx + h["ny"] * sdy + h["nz"] * sdz) * sinv
+            pdf_next = jnp.where(diffuse & continues,
+                                 jnp.maximum(cos_next, 0.0) * INV_PI, -1.0)
+            prev_pdf = jnp.where(continues, pdf_next, prev_pdf)
         return (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
-                continues, emit_ok), None
+                continues, prev_pdf), None
 
     state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth), unroll=1)
     rx, ry, rz = state[9], state[10], state[11]

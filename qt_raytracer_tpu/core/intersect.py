@@ -49,6 +49,10 @@ class Hits(NamedTuple):
     fuzz: jnp.ndarray        # [N]
     ior: jnp.ndarray         # [N]
     emission: jnp.ndarray    # [N,3]
+    radius: jnp.ndarray      # [N] winner sphere radius (0 for mesh winners);
+    #                          emitter-hit MIS re-derives the light's cone pdf
+    #                          from (point, normal, radius) without a regather
+    area: jnp.ndarray        # [N] winner face area (0 for sphere winners)
 
 
 def packed_param_table(scene: SphereScene) -> jnp.ndarray:
@@ -183,4 +187,5 @@ def intersect_spheres(
                 normal=normal, front_face=front_face,
                 mat_type=params[:, 9].astype(jnp.int32),
                 albedo=params[:, 4:7], fuzz=params[:, 7], ior=params[:, 8],
-                emission=params[:, 10:13])
+                emission=params[:, 10:13],
+                radius=r_sel, area=jnp.zeros_like(t))

@@ -46,18 +46,21 @@ class SphereScene:
     ior: jnp.ndarray       # [S]    f32 (dielectric)
     emission: jnp.ndarray  # [S, 3] f32 (emissive radiance)
     active: jnp.ndarray    # [S]    bool (False for padding slots)
-    light_idx: jnp.ndarray  # [L] i32 indices of emissive spheres ([-1] if none);
-    #                         static shape L = host-known light count, used by
-    #                         next-event estimation (integrator.py)
+    light_idx: jnp.ndarray  # [L] i32 indices of emissive spheres (shape [0]
+    #                         if none); static shape L = host-known light
+    #                         count, used by next-event estimation
 
     @property
     def num_spheres(self) -> int:
         return self.center.shape[0]
 
     @property
-    def max_lights(self) -> int:
-        """Static size of the light table (>=1; entries may be -1 sentinels)."""
+    def num_lights(self) -> int:
+        """Static light count (shape of the emissive-sphere index table)."""
         return self.light_idx.shape[0]
+
+    # Backward-compatible alias (pre-round-2 name).
+    max_lights = num_lights
 
 
 def _morton_order(centers: np.ndarray) -> np.ndarray:
@@ -152,10 +155,9 @@ class SceneBuilder:
             active[i] = True
         # Park padding far away so degenerate zero-radius tangent hits are impossible.
         center[n:] = 1.0e9
-        # Static light table for NEE: indices of emissive spheres; [-1] when none.
+        # Static light table for NEE: indices of emissive spheres (shape [0]
+        # when none — NEE is then compiled out entirely).
         lights = np.nonzero(mat_type == EMISSIVE)[0].astype(np.int32)
-        if lights.size == 0:
-            lights = np.array([-1], np.int32)
         return SphereScene(
             center=jnp.asarray(center, dtype),
             radius=jnp.asarray(radius, dtype),

@@ -51,7 +51,7 @@ def _fused_kernel(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz, c2r2, ptab,
                   t_out, idx_out, mat_out, ff_out,
                   px_out, py_out, pz_out, nx_out, ny_out, nz_out,
                   ax_out, ay_out, az_out, fz_out, io_out,
-                  ex_out, ey_out, ez_out,
+                  ex_out, ey_out, ez_out, rw_out,
                   tcand_ref, *, t_min: float, num_spheres: int,
                   shadow_only: bool, mxu_extract: bool):
     """One (S,128) sweep + refinement per ray row.
@@ -67,7 +67,7 @@ def _fused_kernel(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz, c2r2, ptab,
         outs = (t_out, idx_out) if shadow_only else (
             t_out, idx_out, mat_out, ff_out, px_out, py_out, pz_out,
             nx_out, ny_out, nz_out, ax_out, ay_out, az_out, fz_out, io_out,
-            ex_out, ey_out, ez_out)
+            ex_out, ey_out, ez_out, rw_out)
         for ref, v in zip(outs, vals):
             ref[r:r+1, :] = v
 
@@ -146,7 +146,7 @@ def _fused_kernel(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz, c2r2, ptab,
         write_row(r, (t, idx_final, mat_w.astype(jnp.int32),
                       ff.astype(jnp.int32), p_x, p_y, p_z,
                       sgn * ow_x, sgn * ow_y, sgn * ow_z,
-                      al_x, al_y, al_z, fz_w, io_w, em_x, em_y, em_z))
+                      al_x, al_y, al_z, fz_w, io_w, em_x, em_y, em_z, r_w))
 
     for r in range(SUBLANE):
         row_alive = jnp.sum(alive[r:r+1, :]) > 0
@@ -205,7 +205,7 @@ def _fused_kernel(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz, c2r2, ptab,
                 write_row(r, (big, izero, izero, izero,
                               zero, zero, zero, zero, zero, zero + 1.0,
                               zero, zero, zero, zero, zero + 1.0,
-                              zero, zero, zero))
+                              zero, zero, zero, zero))
 
 def prep_fused_spheres(scene: SphereScene, mxu_extract: bool):
     """Kernel-layout sphere data: (S,1) sweep columns + the param table.
@@ -299,8 +299,8 @@ def fused_hit_pallas(scene: SphereScene, ox, oy, oz, dx, dy, dz, alive,
         out_shape = (f_out, i_out)
     else:
         names = ("t", "idx", "mat", "ff", "px", "py", "pz", "nx", "ny", "nz",
-                 "ax", "ay", "az", "fuzz", "ior", "ex", "ey", "ez")
-        out_shape = (f_out, i_out, i_out, i_out) + (f_out,) * 14
+                 "ax", "ay", "az", "fuzz", "ior", "ex", "ey", "ez", "rw")
+        out_shape = (f_out, i_out, i_out, i_out) + (f_out,) * 15
 
     kernel = functools.partial(_fused_kernel, t_min=t_min,
                                num_spheres=scene.num_spheres,
@@ -312,7 +312,7 @@ def fused_hit_pallas(scene: SphereScene, ox, oy, oz, dx, dy, dz, alive,
                    ptab, t_out, idx_out, tcand_ref):
             _fused_kernel(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz, c2r2,
                           ptab, t_out, idx_out,
-                          *([None] * 16), tcand_ref, t_min=t_min,
+                          *([None] * 17), tcand_ref, t_min=t_min,
                           num_spheres=scene.num_spheres, shadow_only=True,
                           mxu_extract=mxu_extract)
 

@@ -71,6 +71,15 @@ def prep_mesh_clusters(mesh: TriangleMesh):
     vc = (v0 + e2).reshape(k, g, 3)
     lo = jnp.minimum(jnp.minimum(va.min(1), vb.min(1)), vc.min(1))  # [k,3]
     hi = jnp.maximum(jnp.maximum(va.max(1), vb.max(1)), vc.max(1))
+    # Epsilon-pad cluster boxes (mirrors accel/mesh.build_mesh): coplanar
+    # axis-aligned clusters are zero-thickness, which the kernel's strict
+    # slab gate would never pass; padding keeps gating conservative. Scale
+    # from the REAL vertices (padding triangles are parked at 1e9 and would
+    # blow up a box-derived scale).
+    span = jnp.max(jnp.max(mesh.v0, axis=0) - jnp.min(mesh.v0, axis=0))
+    eps = 1e-5 * jnp.maximum(span, 1e-3)
+    lo = lo - eps
+    hi = hi + eps
     # Padding clusters carry their slot's degenerate far-away point, so their
     # boxes never intersect scene rays; still give them sane centers.
     centers = 0.5 * (lo + hi)

@@ -9,9 +9,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..accel.mesh import build_mesh
+from ..accel.mesh import MeshBuilder, build_mesh
 from ..core.camera import make_camera
-from ..core.scene import LAMBERTIAN, METAL, SceneBuilder
+from ..core.scene import EMISSIVE, LAMBERTIAN, METAL, SceneBuilder
 from ..core.world import World
 
 
@@ -109,3 +109,45 @@ def icosphere_camera(aspect_ratio: float):
     return make_camera(
         lookfrom=(0.0, 2.2, 7.0), lookat=(0.0, 1.0, 0.0), vup=(0, 1, 0),
         vfov=30.0, aspect_ratio=aspect_ratio, aperture=0.0, focus_dist=7.0)
+
+
+def cornell_box_world(light_emission=(15.0, 15.0, 15.0),
+                      builder: str = "auto") -> World:
+    """TRUE Cornell box (BASELINE config 2): quad walls with per-face
+    materials, an emissive ceiling QUAD light (area light, NEE+MIS-sampled),
+    and the two classic rotated boxes — all one TriangleMesh. A small metal
+    sphere sits on the short box (exercises the sphere+mesh merged id space).
+
+    No reference analog (the reference renders spheres only); replaces the
+    round-1 sphere-wall approximation (models/scenes.cornell_box_spheres).
+    Interior: x,z in [-1,1], y in [0,2]; open front at z=+1.
+    """
+    white = (0.73, 0.73, 0.73)
+    m = MeshBuilder()
+    # Walls (normals inward; materials are two-sided anyway).
+    m.add_quad((-1, 0, -1), (0, 0, 2), (2, 0, 0), albedo=white)       # floor
+    m.add_quad((-1, 2, -1), (2, 0, 0), (0, 0, 2), albedo=white)       # ceiling
+    m.add_quad((-1, 0, -1), (2, 0, 0), (0, 2, 0), albedo=white)       # back
+    m.add_quad((-1, 0, -1), (0, 2, 0), (0, 0, 2),
+               albedo=(0.65, 0.05, 0.05))                             # left red
+    m.add_quad((1, 0, -1), (0, 0, 2), (0, 2, 0),
+               albedo=(0.12, 0.45, 0.15))                             # right green
+    # Area light: ceiling quad, slightly below the ceiling plane.
+    m.add_quad((-0.3, 1.995, -0.3), (0.6, 0, 0), (0, 0, 0.6),
+               mat_type=EMISSIVE, emission=light_emission)
+    # Classic boxes (rotated about +y).
+    m.add_box((-0.35, 0.6, -0.30), (0.6, 1.2, 0.6), rotate_y=18.0,
+              albedo=white)
+    m.add_box((0.40, 0.3, 0.35), (0.6, 0.6, 0.6), rotate_y=-15.0,
+              albedo=white)
+    mesh = m.build(builder=builder)
+
+    b = SceneBuilder()
+    b.metal((0.40, 0.78, 0.35), 0.18, (0.8, 0.85, 0.88), 0.0)
+    return World(spheres=b.build(pad_to=128), mesh=mesh)
+
+
+def cornell_box_mesh_camera(aspect_ratio: float):
+    return make_camera(
+        lookfrom=(0.0, 1.0, 3.6), lookat=(0.0, 1.0, 0.0), vup=(0, 1, 0),
+        vfov=38.0, aspect_ratio=aspect_ratio, aperture=0.0, focus_dist=3.6)

@@ -160,6 +160,11 @@ def _icosphere():
     return meshes.icosphere_world, meshes.icosphere_camera
 
 
+def _cornell_mesh():
+    from . import meshes
+    return meshes.cornell_box_world, meshes.cornell_box_mesh_camera
+
+
 SCENES = {
     "three_sphere": (three_sphere_scene, three_sphere_camera),
     "four_sphere_gpu": (four_sphere_gpu_scene, four_sphere_gpu_camera),
@@ -168,15 +173,17 @@ SCENES = {
     "cornell": (cornell_box_spheres, cornell_box_camera),
 }
 
-# Mesh worlds (triangles + BVH; BASELINE config 4) — lazy to keep bare
-# sphere-scene imports light.
-MESH_SCENES = ("terrain", "icosphere")
+# Mesh worlds (triangles + BVH; BASELINE configs 2 and 4) — lazy to keep
+# bare sphere-scene imports light. "cornell_mesh" is the TRUE Cornell box
+# (quad walls, emissive area-light quad, rotated boxes — per-face materials).
+MESH_SCENES = ("terrain", "icosphere", "cornell_mesh")
 
 
 def get_scene(name: str, aspect_ratio: float, **kwargs):
     """Look up (scene, camera) by name; raises KeyError with choices."""
     if name in MESH_SCENES:
-        build, cam = {"terrain": _terrain, "icosphere": _icosphere}[name]()
+        build, cam = {"terrain": _terrain, "icosphere": _icosphere,
+                      "cornell_mesh": _cornell_mesh}[name]()
         return build(**kwargs), cam(aspect_ratio)
     if name not in SCENES:
         raise KeyError(

@@ -178,51 +178,120 @@ def _onb(w):
     return t1, t2
 
 
+INV_PI = 1.0 / np.pi
+
+
+def _sphere_pdf(center, radius, from_p):
+    """Mirror of integrator._sphere_solid_angle_pdf (scalar f64)."""
+    to_l = center - from_p
+    dist2 = np.dot(to_l, to_l)
+    outside = dist2 > radius * radius * 1.0001
+    sin2 = min(1.0, radius * radius / max(dist2, 1e-12))
+    cos_max = np.sqrt(max(0.0, 1.0 - sin2))
+    omc = sin2 / (1.0 + cos_max)
+    ok = bool(outside) and omc > 1e-12
+    pdf = 1.0 / max(2.0 * np.pi * omc, 1e-30) if ok else 0.0
+    return pdf, ok, cos_max, to_l, dist2
+
+
 def _nee_once(scene, p, normal, throughput, u, t_min, lights, hit_albedo,
-              mesh=None):
-    """Mirror of integrator._nee_contribution for one diffuse hit."""
+              num_spheres, mesh=None):
+    """Mirror of integrator._nee_mis for one diffuse hit (one-sample MIS,
+    balance heuristic). lights: [(kind, idx)] — kind 0 = sphere, 1 = mesh
+    face, in the renderer's world_lights order (spheres first)."""
     n_lights = len(lights)
     pick = min(int(u[4] * n_lights), n_lights - 1)
-    light = lights[pick]
-    if light < 0:
-        return np.zeros(3)
-    lc = scene["center"][light]
-    lr = scene["radius"][light]
-    le = scene["emission"][light]
-    to_l = lc - p
-    dist2 = np.dot(to_l, to_l)
-    if dist2 <= lr * lr * 1.0001:
-        return np.zeros(3)
-    sin2_max = min(1.0, lr * lr / dist2)
-    cos_max = np.sqrt(max(0.0, 1.0 - sin2_max))
-    w = to_l / np.sqrt(dist2)
-    cos_s = 1.0 - u[5] * (1.0 - cos_max)
-    sin_s = np.sqrt(max(0.0, 1.0 - cos_s * cos_s))
-    phi = TWO_PI * u[6]
-    t1, t2 = _onb(w)
-    ldir = sin_s * np.cos(phi) * t1 + sin_s * np.sin(phi) * t2 + cos_s * w
+    kind, li = lights[pick]
+    if kind == 0:
+        lc = scene["center"][li]
+        lr = scene["radius"][li]
+        le = scene["emission"][li]
+        pdf_j, ok, cos_max, to_l, dist2 = _sphere_pdf(lc, lr, p)
+        if not ok:
+            return np.zeros(3)
+        w = to_l / np.sqrt(dist2)
+        cos_a = 1.0 - u[5] * (1.0 - cos_max)
+        sin_a = np.sqrt(max(0.0, 1.0 - cos_a * cos_a))
+        phi = TWO_PI * u[6]
+        t1, t2 = _onb(w)
+        ldir = sin_a * np.cos(phi) * t1 + sin_a * np.sin(phi) * t2 + cos_a * w
+        expected = ("s", li)
+    else:
+        v0, e1, e2 = mesh["v0"][li], mesh["e1"][li], mesh["e2"][li]
+        le = mesh["emission"][li]
+        bu, bv = u[5], u[6]
+        if bu + bv > 1.0:
+            bu, bv = 1.0 - bu, 1.0 - bv
+        p_l = v0 + bu * e1 + bv * e2
+        wv = p_l - p
+        d2 = np.dot(wv, wv)
+        if d2 <= 1e-12:
+            return np.zeros(3)
+        ldir = wv / np.sqrt(d2)
+        cr = np.cross(e1, e2)
+        two_area = np.linalg.norm(cr)
+        area = 0.5 * two_area
+        if area <= 1e-20:
+            return np.zeros(3)
+        n_l = cr / two_area
+        cos_l = abs(np.dot(n_l, ldir))
+        if cos_l <= 1e-7:
+            return np.zeros(3)
+        pdf_j = d2 / max(cos_l * area, 1e-30)
+        expected = ("t", li)
     cos_surf = np.dot(normal, ldir)
     if cos_surf <= 0.0:
         return np.zeros(3)
-    t, si = _hit_scene(scene, p, ldir, t_min)
-    if si != light:
-        return np.zeros(3)
+    # Shadow: the closest world hit must be exactly the chosen light.
+    t_s, si = _hit_scene(scene, p, ldir, t_min)
+    winner = ("s", si) if si >= 0 else None
     if mesh is not None:
-        _, fi = _hit_mesh_brute(mesh, p, ldir, t_min, t)
-        if fi >= 0:
-            return np.zeros(3)  # mesh occludes the light
-    weight = 2.0 * (1.0 - cos_max) * n_lights
-    return throughput * hit_albedo * cos_surf * weight * le
+        t_m, fi = _hit_mesh_brute(mesh, p, ldir, t_min,
+                                  t_s if si >= 0 else np.inf)
+        if fi >= 0 and t_m < (t_s if si >= 0 else np.inf):
+            winner = ("t", fi)
+    if winner != expected:
+        return np.zeros(3)
+    pdf_nee = pdf_j / n_lights
+    denom = pdf_nee + cos_surf * INV_PI
+    factor = cos_surf * INV_PI / max(denom, 1e-30)
+    return throughput * hit_albedo * factor * le
+
+
+def _emit_weight_once(scene, mesh, p, o, si, fi, mesh_won, n_lights,
+                      prev_pdf):
+    """Mirror of integrator._emitter_mis_weight for one emitter hit."""
+    if prev_pdf <= 0.0:
+        return 1.0
+    if mesh_won:
+        wv = p - o
+        d2 = np.dot(wv, wv)
+        e1, e2 = mesh["e1"][fi], mesh["e2"][fi]
+        cr = np.cross(e1, e2)
+        two_area = np.linalg.norm(cr)
+        area = 0.5 * two_area
+        if d2 <= 1e-12 or area <= 1e-20:
+            pdf_j = 0.0
+        else:
+            ldir = wv / np.sqrt(d2)
+            cos_l = abs(np.dot(cr / two_area, ldir))
+            pdf_j = d2 / max(cos_l * area, 1e-30) if cos_l > 1e-7 else 0.0
+    else:
+        pdf_j, _, _, _, _ = _sphere_pdf(scene["center"][si],
+                                        scene["radius"][si], o)
+    pdf_nee = pdf_j / n_lights
+    return prev_pdf / (prev_pdf + pdf_nee)
 
 
 def _trace_one(scene, o, d, bounce_u, max_depth, t_min, nee=False,
                lights=None, mesh=None, rr_start=0):
+    nee_active = bool(nee) and lights is not None and len(lights) > 0
     throughput = np.ones(3)
     radiance = np.zeros(3)
-    emit_ok = True
+    prev_pdf = -1.0   # pdf of the generating bounce; -1 = camera/specular
     for b in range(max_depth):
         t, si = _hit_scene(scene, o, d, t_min)
-        mesh_won = False
+        mesh_won, fi = False, -1
         if mesh is not None:
             tm, fi = _hit_mesh_brute(mesh, o, d, t_min,
                                      t if si >= 0 else np.inf)
@@ -235,9 +304,9 @@ def _trace_one(scene, o, d, bounce_u, max_depth, t_min, nee=False,
             gn = mesh["geom_normal"][fi]
             front_face = np.dot(d, gn) < 0.0
             normal = gn if front_face else -gn
-            mat = int(mesh["mat_type"])
-            albedo, fuzz = mesh["albedo"], mesh["fuzz"]
-            ior_v, emission = mesh["ior"], mesh["emission"]
+            mat = int(mesh["mat_type"][fi])
+            albedo, fuzz = mesh["albedo"][fi], mesh["fuzz"][fi]
+            ior_v, emission = mesh["ior"][fi], mesh["emission"][fi]
         else:
             outward = (p - scene["center"][si]) / scene["radius"][si]
             front_face = np.dot(d, outward) < 0.0
@@ -248,16 +317,19 @@ def _trace_one(scene, o, d, bounce_u, max_depth, t_min, nee=False,
         u = bounce_u[b]
 
         if mat == LAMBERTIAN:
-            if nee:
+            if nee_active:
                 radiance = radiance + _nee_once(scene, p, normal, throughput,
                                                 u, t_min, lights, albedo,
+                                                len(scene["radius"]),
                                                 mesh=mesh)
             nd = normal + _unit_vector_sample(u[0], u[1])
             if np.dot(nd, nd) < 1e-8:
                 nd = normal
             throughput = throughput * albedo
+            if nee_active:
+                ndu = nd / np.linalg.norm(nd)
+                prev_pdf = max(np.dot(normal, ndu), 0.0) * INV_PI
             o, d = p, nd
-            emit_ok = not nee
         elif mat == METAL:
             refl = _reflect(_unit(d), normal)
             nd = refl + fuzz * _in_unit_sphere_sample(u[0], u[1], u[2])
@@ -265,7 +337,7 @@ def _trace_one(scene, o, d, bounce_u, max_depth, t_min, nee=False,
                 return radiance  # absorbed (RayTracer.h:498)
             throughput = throughput * albedo
             o, d = p, nd
-            emit_ok = True
+            prev_pdf = -1.0
         elif mat == DIELECTRIC:
             ratio = (1.0 / ior_v) if front_face else ior_v
             ud = _unit(d)
@@ -277,12 +349,16 @@ def _trace_one(scene, o, d, bounce_u, max_depth, t_min, nee=False,
             else:
                 nd = _refract(ud, normal, ratio)
             o, d = p, nd
-            emit_ok = True
+            prev_pdf = -1.0
         elif mat == EMISSIVE:
-            # Mesh emitters always count (never NEE-sampled); sphere-light
-            # emitters obey emit_ok suppression.
-            if emit_ok or mesh_won:
-                radiance = radiance + throughput * emission
+            # MIS: BSDF-sampled emitter hits are balance-weighted against the
+            # NEE pdf of the same direction (full weight for camera/specular
+            # rays, or when NEE is off).
+            w = 1.0
+            if nee_active:
+                w = _emit_weight_once(scene, mesh, p, o, si, fi, mesh_won,
+                                      len(lights), prev_pdf)
+            radiance = radiance + throughput * emission * w
             return radiance
         else:
             raise ValueError(f"bad material tag {mat}")
@@ -310,7 +386,8 @@ def mesh_to_np(mesh) -> dict:
     out = {k: np.asarray(getattr(mesh, k), np.float64)
            for k in ("v0", "e1", "e2", "geom_normal", "albedo", "fuzz", "ior",
                      "emission")}
-    out["mat_type"] = int(mesh.mat_type)
+    out["mat_type"] = np.asarray(mesh.mat_type, np.int32)
+    out["light_tri"] = np.asarray(mesh.light_tri, np.int64)
     return out
 
 
@@ -324,7 +401,10 @@ def render_oracle_linear(scene, camera, cfg: RenderConfig, key) -> np.ndarray:
         scene = scene.spheres
     sc = scene_to_np(scene)
     cam = camera_to_np(camera)
-    lights = np.asarray(scene.light_idx, np.int64)
+    # Unified light list in world_lights order: sphere lights, then faces.
+    lights = [(0, int(i)) for i in np.asarray(scene.light_idx)]
+    if mesh is not None:
+        lights += [(1, int(f)) for f in mesh["light_tri"]]
     gen_u, bounce_u = extract_uniforms(key, cfg)
 
     h, w = cfg.height, cfg.width

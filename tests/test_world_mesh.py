@@ -56,8 +56,9 @@ def test_mesh_world_nee_matches_oracle():
 
 
 def test_emissive_mesh_matches_oracle_with_nee():
-    # Emissive mesh is NOT in the NEE light table; its hits must always count
-    # (no energy loss from the diffuse-bounce suppression).
+    # Emissive mesh faces ARE in the unified light table (round 2): the
+    # icosphere's 80 faces become 80 area lights, exercising many-triangle
+    # light picking + per-face MIS weights against the oracle.
     cfg = RenderConfig(width=10, height=8, spp=2, max_depth=4, nee=True)
     world = _small_world(emissive_mesh=True)
     cam = meshes.icosphere_camera(cfg.aspect_ratio)
