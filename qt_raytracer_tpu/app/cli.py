@@ -174,7 +174,8 @@ def cmd_invert(args) -> int:
     import jax.numpy as jnp
     import optax
 
-    from ..diff.inverse import make_train_step, mean_image
+    from ..diff.inverse import (load_train_state, make_train_step, mean_image,
+                                save_train_state)
     from ..models import scenes
 
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
@@ -206,10 +207,27 @@ def cmd_invert(args) -> int:
         wrong, start_cam, cfg, optimizer, trainable=("albedo",),
         train_camera=args.train_camera)
     state = init_state()
-    for it in range(args.steps):
-        state, loss = step_fn(state, target, jax.random.fold_in(key, it + 1))
-        if it % 10 == 0 or it == args.steps - 1:
-            print(f"step {it:4d} loss {float(loss):.6f}")
+    if args.resume and args.checkpoint:
+        state = load_train_state(args.checkpoint, state)
+        print(f"resumed at step {int(state.step)}", file=sys.stderr)
+    try:
+        for it in range(int(state.step), args.steps):
+            state, loss = step_fn(state, target,
+                                  jax.random.fold_in(key, it + 1))
+            if it % 10 == 0 or it == args.steps - 1:
+                print(f"step {it:4d} loss {float(loss):.6f}")
+            if args.checkpoint and (it + 1) % args.checkpoint_every == 0:
+                save_train_state(args.checkpoint, state)
+    except KeyboardInterrupt:
+        if args.checkpoint:
+            save_train_state(args.checkpoint, state)
+            print(f"\ninterrupted at step {int(state.step)}; optimizer state "
+                  f"saved to {args.checkpoint} (resume with --resume)",
+                  file=sys.stderr)
+            return 130
+        raise
+    if args.checkpoint:
+        save_train_state(args.checkpoint, state)
     rec = np.asarray(state.params["scene"]["albedo"][1])
     true = np.asarray(true_scene.albedo[1])
     print(f"recovered albedo {np.round(rec, 3).tolist()} "
@@ -281,6 +299,11 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--lr", type=float, default=5e-2)
     pi.add_argument("--train-camera", action="store_true",
                     help="also recover a perturbed camera origin")
+    pi.add_argument("--checkpoint",
+                    help="dir for optimizer-state save/resume (orbax)")
+    pi.add_argument("--resume", action="store_true",
+                    help="restore optimizer state from --checkpoint")
+    pi.add_argument("--checkpoint-every", type=int, default=10)
     pi.set_defaults(fn=cmd_invert)
     return p
 

@@ -76,6 +76,32 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def save_train_state(path, state: TrainState) -> None:
+    """Checkpoint the FULL optimization state (params + optimizer moments +
+    step) with orbax, so long inverse renders are restartable exactly like
+    progressive renders (SURVEY.md §5 checkpoint row: "render accumulator
+    ... and inverse-rendering optimizer state")."""
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(Path(path).absolute(), state, force=True)
+    ckpt.wait_until_finished()
+
+
+def load_train_state(path, template: TrainState) -> TrainState:
+    """Restore a TrainState saved by save_train_state. ``template`` (e.g. a
+    fresh ``init_state()``) supplies the pytree structure/shapes/dtypes —
+    the optimizer and trainable set must match the saved run."""
+    import jax
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+
+    ckpt = ocp.StandardCheckpointer()
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    return ckpt.restore(Path(path).absolute(), abstract)
+
+
 def make_train_step(
     scene: SphereScene,
     camera,

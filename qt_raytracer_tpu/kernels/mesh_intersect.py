@@ -222,7 +222,14 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive,
                 # (rays, clusters) <= (rays, 1) broadcast: natural layouts,
                 # no full-tile transposes (a (128,128)-transpose variant
                 # measured 4x slower than the un-capped sweep).
-                ok = enters_ref[...] <= tb_ref[...] * 1.0001 + 1e-4
+                # Clamp the slacked cap BELOW the BIG miss sentinel: without
+                # the clamp, a lane with t_best == BIG (no hit yet) gets cap
+                # BIG*1.0001 > BIG, so its BIG-valued MISSED-box entries gate
+                # every cluster back in — measured 967 ms for an all-sky
+                # 414Ki-ray batch (every group visited every cluster) vs
+                # ~5 ms with the clamp.
+                cap = jnp.minimum(tb_ref[...] * 1.0001 + 1e-4, 1.0e37)
+                ok = enters_ref[...] <= cap
                 counts_row = jnp.sum(ok.astype(jnp.int32), axis=0,
                                      keepdims=True)      # (1, clusters)
                 for kr in range(k_rows):

@@ -12,7 +12,11 @@ with exactly one collective: a psum of partial radiance sums over "sp"
 (plus, in training, the automatic psum of scene-parameter gradients that
 shard_map's transpose inserts — the ICI gradient all-reduce of SURVEY.md
 §2.6). The counter-based RNG (core/sampling.py) keys off *global* pixel and
-sample indices, so the image is bitwise independent of the mesh shape.
+sample indices, so every sample's radiance is bitwise independent of the
+mesh shape: pixel-partitioning ("px") gives BITWISE-identical images, and
+sample-partitioning ("sp") moves results only by reassociating the
+per-pixel spp sum across shards (<= a few f32 ulps) — both tested
+(tests/test_parallel.py).
 
 Multi-host: the same mesh spans hosts via jax.distributed.initialize();
 "sp" should map to the slower (DCN) axis since it reduces once, "px" to ICI.

@@ -149,3 +149,40 @@ def test_inverse_rendering_recovers_albedo():
     rec = np.asarray(state.params["scene"]["albedo"][1])
     true = np.asarray(true_scene.albedo[1])
     assert np.abs(rec - true).max() < 0.15, (rec, true)
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    # SURVEY.md §5 checkpoint row: optimizer state (params + adam moments +
+    # step) must save/restore so a resumed run continues EXACTLY where a
+    # straight-through run would be.
+    import dataclasses
+    cfg = RenderConfig(width=12, height=8, spp=2, max_depth=3)
+    true_scene, cam = scenes.get_scene("three_sphere", cfg.aspect_ratio)
+    target = mean_image(true_scene, cam, cfg, jax.random.PRNGKey(42))
+    wrong = dataclasses.replace(
+        true_scene,
+        albedo=true_scene.albedo.at[1].set(jnp.array([0.2, 0.8, 0.6])))
+    init_state, step_fn, _ = make_train_step(
+        wrong, cam, cfg, optax.adam(5e-2), trainable=("albedo",))
+
+    # Straight-through: 4 steps.
+    ref = init_state()
+    for it in range(4):
+        ref, _ = step_fn(ref, target, jax.random.fold_in(KEY, it))
+
+    # Interrupted: 2 steps -> save -> restore -> 2 more.
+    from qt_raytracer_tpu.diff.inverse import (load_train_state,
+                                               save_train_state)
+    st = init_state()
+    for it in range(2):
+        st, _ = step_fn(st, target, jax.random.fold_in(KEY, it))
+    save_train_state(tmp_path / "ck", st)
+    st2 = load_train_state(tmp_path / "ck", init_state())
+    assert int(st2.step) == 2
+    for it in range(2, 4):
+        st2, _ = step_fn(st2, target, jax.random.fold_in(KEY, it))
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        ref, st2)

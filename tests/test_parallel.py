@@ -26,13 +26,19 @@ def test_eight_devices_available():
 
 @pytest.mark.parametrize("sp,px", [(1, 8), (2, 4), (4, 2), (4, 1), (1, 1)])
 def test_sharded_render_matches_single_device(setup, sp, px):
-    # Bitwise mesh-shape invariance is the whole point of the counter-based
-    # RNG: any (sp, px) decomposition must give the SAME image.
+    # Mesh-shape invariance from the counter-based RNG: every sample is
+    # keyed on GLOBAL (pixel, sample) ids, so pixel-partitioning ("px") is
+    # BITWISE invariant — asserted exactly. Sample-partitioning ("sp")
+    # reassociates the per-pixel spp sum ((s0+s1)+(s2+s3) vs sequential),
+    # which moves results by <= a few ulps; asserted to 1-ulp-scale tol.
     cfg, scene, cam, key, ref = setup
     devices = jax.devices()[: sp * px]
     mesh = make_mesh(sp=sp, px=px, devices=devices)
     img = np.asarray(render_linear_sharded(scene, cam, cfg, key, mesh))
-    np.testing.assert_allclose(img, ref, atol=1e-5, rtol=1e-5)
+    if sp == 1:
+        np.testing.assert_array_equal(img, ref)
+    else:
+        np.testing.assert_allclose(img, ref, rtol=3e-7, atol=3e-7)
 
 
 def test_nondivisible_pixels_padded(setup):
@@ -41,7 +47,10 @@ def test_nondivisible_pixels_padded(setup):
     cfg, scene, cam, key, ref = setup
     mesh = make_mesh(sp=1, px=5, devices=jax.devices()[:5])
     img = np.asarray(render_linear_sharded(scene, cam, cfg, key, mesh))
-    np.testing.assert_allclose(img, ref, atol=1e-5, rtol=1e-5)
+    # Not asserted bitwise: the ragged 39-pixel shard width changes CPU
+    # autovectorization (measured: 1-ulp flips on 2/192 pixels), unlike the
+    # divisible px shardings above which ARE exact.
+    np.testing.assert_allclose(img, ref, rtol=3e-7, atol=3e-7)
 
 
 def test_sharded_mesh_world_matches_single_device():
