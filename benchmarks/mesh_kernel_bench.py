@@ -25,6 +25,8 @@ def main() -> None:
                     help="also time the full 1080p terrain frame")
     ap.add_argument("--n", type=int, default=414720, help="rays per call")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--no-sort", action="store_true",
+                    help="disable the wavefront coherence sort")
     args = ap.parse_args()
     if args.rows:
         os.environ["QTRT_CLUSTER_ROWS"] = str(args.rows)
@@ -69,13 +71,15 @@ def main() -> None:
 
     for name, o, d in [("primary", o_p, d_p), ("random", o_r, d_r)]:
         t0 = time.time()
-        t, idx = mesh_search_pallas(mesh, o, d, 1e-3)
+        t, idx = mesh_search_pallas(mesh, o, d, 1e-3,
+                                        sort=not args.no_sort)
         s = sync(t, idx)
         first = time.time() - t0
         times = []
         for _ in range(args.iters):
             t0 = time.time()
-            t, idx = mesh_search_pallas(mesh, o, d, 1e-3)
+            t, idx = mesh_search_pallas(mesh, o, d, 1e-3,
+                                        sort=not args.no_sort)
             sync(t, idx)
             times.append(time.time() - t0)
         best = min(times)

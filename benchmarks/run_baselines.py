@@ -136,7 +136,7 @@ def config5(scale):
     wrong = dc.replace(
         true_scene,
         albedo=true_scene.albedo.at[1].set(jnp.array([0.9, 0.1, 0.5])))
-    init_state, step_fn, _ = make_train_step(
+    init_state, step_fn, _, _ = make_train_step(
         wrong, cam, cfg, optax.adam(5e-2), trainable=("albedo",))
     state = init_state()
     state, _ = step_fn(state, target, key)  # compile

@@ -193,19 +193,21 @@ def cmd_invert(args) -> int:
         start_cam = dc.replace(
             camera, origin=camera.origin + delta,
             lower_left_corner=camera.lower_left_corner + delta)
-    if args.train_camera:
-        # Camera parameters need a far gentler step than albedo: pathwise
-        # gradients exclude silhouette terms, so large camera moves follow
-        # noisy interior-shading signals only.
+    if args.train_camera and not args.edge_aware:
+        # Without silhouette gradients, camera parameters need a far gentler
+        # step than albedo: the pathwise estimator sees only noisy
+        # interior-shading signals. --edge-aware removes the crutch (the
+        # boundary term restores the real camera gradient).
         optimizer = optax.multi_transform(
             {"scene": optax.adam(args.lr),
              "camera": optax.adam(args.lr * 0.05)},
             {"scene": "scene", "camera": "camera"})
     else:
         optimizer = optax.adam(args.lr)
-    init_state, step_fn, rebuild = make_train_step(
+    init_state, step_fn, rebuild, rebuild_cam = make_train_step(
         wrong, start_cam, cfg, optimizer, trainable=("albedo",),
-        train_camera=args.train_camera)
+        train_camera="pose" if args.train_camera else False,
+        edge_aware=args.edge_aware)
     state = init_state()
     if args.resume and args.checkpoint:
         state = load_train_state(args.checkpoint, state)
@@ -234,7 +236,7 @@ def cmd_invert(args) -> int:
           f"(true {np.round(true, 3).tolist()}, "
           f"max err {np.abs(rec - true).max():.4f})")
     if args.train_camera:
-        rec_o = np.asarray(state.params["camera"].origin)
+        rec_o = np.asarray(rebuild_cam(state.params).origin)
         true_o = np.asarray(camera.origin)
         print(f"recovered camera origin {np.round(rec_o, 3).tolist()} "
               f"(true {np.round(true_o, 3).tolist()}, "
@@ -299,6 +301,9 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--lr", type=float, default=5e-2)
     pi.add_argument("--train-camera", action="store_true",
                     help="also recover a perturbed camera origin")
+    pi.add_argument("--edge-aware", action="store_true",
+                    help="silhouette (visibility) gradients — full-strength "
+                         "camera recovery, ~2x trace cost")
     pi.add_argument("--checkpoint",
                     help="dir for optimizer-state save/resume (orbax)")
     pi.add_argument("--resume", action="store_true",

@@ -74,6 +74,14 @@ class RenderConfig:
     # 1024-ray kernel tile, unchunked below 256Ki rays — see
     # core/render.resolve_pixel_chunk); -1 = never chunk; >0 = explicit.
     pixel_chunk: int = 0
+    # Edge-aware (silhouette) gradients: add the primal-zero screen-space
+    # boundary term of diff/edge.py to every primary sample. Forward images
+    # are UNCHANGED (the term is exactly zero in the primal); gradients gain
+    # the visibility-discontinuity contribution that the detached-decision
+    # pathwise estimator drops. ~2x trace cost (background re-trace); xla
+    # intersector is forced for the affected traces. Requires
+    # samples_per_batch == 1.
+    edge_aware: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "width", _clamp(self.width, MIN_DIM, MAX_WIDTH))
@@ -90,6 +98,10 @@ class RenderConfig:
             raise ValueError(f"unknown rng {self.rng!r}")
         if self.pixel_chunk < -1:
             raise ValueError(f"pixel_chunk must be >= -1, got {self.pixel_chunk}")
+        if self.edge_aware and self.samples_per_batch != 1:
+            raise ValueError("edge_aware requires samples_per_batch == 1 "
+                             "(the boundary term needs per-sample pixel "
+                             "coordinates)")
         if self.spp % self.samples_per_batch != 0:
             # round batch down to a divisor of spp so the scan is exact
             spb = self.samples_per_batch

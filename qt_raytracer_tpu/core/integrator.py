@@ -195,6 +195,7 @@ def trace(
     intersector: str = "xla",
     nee: bool = False,
     rr_start: int = 0,
+    exclude_prim0=None,
 ) -> jnp.ndarray:
     """Trace N rays to completion; returns linear radiance [N,3].
 
@@ -212,6 +213,12 @@ def trace(
     throughput channel, 0.05, 1.0) with exact throughput compensation —
     unbiased; kills deep low-energy paths so whole 128-ray rows go dead and
     the kernels skip them. Uses uniform slot 7 (oracle-mirrored).
+
+    exclude_prim0: optional [N] i32 — per-ray sphere index excluded from the
+    BOUNCE-0 intersection only (-1 = none). The background radiance of the
+    edge-aware silhouette estimator (diff/edge.py): "what this primary ray
+    would see if the winning sphere were absent". Requires intersector
+    support ('xla').
 
     scene may be a SphereScene or a World (spheres + triangle mesh).
     """
@@ -235,9 +242,16 @@ def trace(
     )
 
     def bounce(state: RayState, depth_idx):
+        if exclude_prim0 is not None:
+            # Exclusion applies to the primary segment only; depth_idx is
+            # traced data, so gate with where (no Python branch in-scan).
+            excl = jnp.where(depth_idx == 0, exclude_prim0,
+                             jnp.full_like(exclude_prim0, -1))
+        else:
+            excl = None
         hits = intersect_world(world, state.origin, state.direction,
                                t_min, backend=intersector,
-                               alive=state.alive)
+                               alive=state.alive, exclude=excl)
 
         uniforms = sampling.stream_uniforms(
             sample_keys, sampling.STREAM_BOUNCE0 + depth_idx,

@@ -71,12 +71,17 @@ def packed_param_table(scene: SphereScene) -> jnp.ndarray:
     ], axis=1)
 
 
-def sphere_hit_ts(scene: SphereScene, origins, directions, t_min, t_max):
+def sphere_hit_ts(scene: SphereScene, origins, directions, t_min, t_max,
+                  exclude=None):
     """Per-(ray, sphere) nearest valid root, [N, S]; BIG where no valid hit.
 
     Exactly mirrors Sphere::hit root selection (RayTracer.h:289-305): try the
     near root (-half_b - sqrtd)/a, fall back to the far root, reject outside
     [t_min, t_max].
+
+    exclude: optional [N] i32 — per-ray sphere index whose hits are masked
+    out (-1 = none). Powers the silhouette-background re-trace of the
+    edge-aware gradient estimator (diff/edge.py).
     """
     o, d = origins, directions
     c, r = scene.center, scene.radius
@@ -107,12 +112,16 @@ def sphere_hit_ts(scene: SphereScene, origins, directions, t_min, t_max):
     near_ok = in_range(root_near)
     root = jnp.where(near_ok, root_near, root_far)
     valid = has_root & (near_ok | in_range(root_far)) & scene.active[None, :]
+    if exclude is not None:
+        s = c.shape[0]
+        valid = valid & (jnp.arange(s, dtype=jnp.int32)[None, :]
+                         != exclude[:, None])
     return jnp.where(valid, root, BIG)
 
 
 def intersect_spheres(
     scene: SphereScene, origins, directions, t_min, t_max=BIG,
-    backend: str = "xla", alive=None,
+    backend: str = "xla", alive=None, exclude=None,
 ) -> Hits:
     """Closest-hit over all spheres — HitableList::hit (RayTracer.h:339-353)
     as a vectorized argmin instead of a serial shrinking scan.
@@ -127,10 +136,14 @@ def intersect_spheres(
     and the oracle mirrors argmin semantics.
     """
     if backend == "xla":
-        ts = sphere_hit_ts(scene, origins, directions, t_min, t_max)  # [N,S]
+        ts = sphere_hit_ts(scene, origins, directions, t_min, t_max,
+                           exclude=exclude)                           # [N,S]
         prim_idx = jnp.argmin(ts, axis=1).astype(jnp.int32)           # [N]
         t_coarse = jnp.take_along_axis(ts, prim_idx[:, None], axis=1)[:, 0]
     else:
+        if exclude is not None:
+            raise ValueError("per-ray exclusion requires backend='xla' "
+                             "(edge-aware gradient path)")
         from ..kernels.sphere_intersect import sphere_search_pallas
 
         t_coarse, prim_idx = sphere_search_pallas(

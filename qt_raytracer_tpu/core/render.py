@@ -102,6 +102,11 @@ def pixel_grid(cfg: RenderConfig, dtype=jnp.float32):
 
 def _sample_radiance(scene, camera, cfg: RenderConfig, pix_keys, i, j, sample_idx):
     """Trace one sample for every pixel; returns [N,3] linear radiance."""
+    if cfg.edge_aware:
+        from ..diff.edge import sample_radiance_edge_aware
+
+        return sample_radiance_edge_aware(scene, camera, cfg, pix_keys,
+                                          i, j, sample_idx)
     samp_keys = sampling.sample_keys(pix_keys, sample_idx)
     gen = sampling.stream_uniforms(samp_keys, sampling.STREAM_GEN,
                                   sampling.UNIFORMS_GEN)

@@ -128,10 +128,13 @@ def _tri_t_diff(mesh: TriangleMesh, tri_idx, o, d, t_min, t_max):
 
 
 def intersect_world(world: World, origins, directions, t_min,
-                    backend: str = "xla", alive=None) -> Hits:
-    """Closest hit over every primitive family, merged into one Hits."""
+                    backend: str = "xla", alive=None, exclude=None) -> Hits:
+    """Closest hit over every primitive family, merged into one Hits.
+
+    exclude: optional [N] i32 per-ray SPHERE index to mask out (-1 = none;
+    mesh ids not supported) — the edge-aware gradient background re-trace."""
     hs = intersect_spheres(world.spheres, origins, directions, t_min,
-                           backend=backend, alive=alive)
+                           backend=backend, alive=alive, exclude=exclude)
     mesh = world.mesh
     if mesh is None:
         return hs

@@ -1,0 +1,137 @@
+"""Edge-aware (silhouette) gradients: screen-space boundary estimator.
+
+The detached-decision pathwise estimator (diff/inverse.py) holds every
+discrete decision fixed, so the derivative of the HIT INDICATOR — the Dirac
+term living on silhouette edges — is dropped by construction. That term is
+what moves object and camera parameters across visibility boundaries; without
+it, camera-translation gradients see only interior shading and BASELINE
+config 5's camera recovery is crippled (round-1 VERDICT item 2).
+
+The boundary integral (differentiable-rendering boundary term; Li et al.
+2018 edge sampling / Bangaru et al. 2020 warped-area form, re-derived here
+for sphere silhouettes where everything is closed-form):
+
+    d/dθ ∫ L dA  ⊇  ∮_edges (L_fg − L_bg) · v_n  dl
+
+where v_n is the normal velocity of the silhouette curve in the image plane
+under dθ. For a sphere, the hit indicator is H(g) with the closed-form
+
+    g(ray, c, r) = r² − ρ²,   ρ = perpendicular distance of center to ray
+
+positive inside the silhouette, zero exactly on it. Divide by the
+screen-space gradient magnitude |∇_px g| (detached) and g becomes a signed
+distance sd in PIXEL units; primary samples with 0 < sd ≤ W lie within W
+pixels inside the edge. A one-sided triangular kernel w(sd) with unit
+integral turns those samples into an unbiased-as-W→0 Monte-Carlo estimate of
+the edge integral (W = 1 px here: the bias is a one-pixel blur of the edge
+VELOCITY, not of the image):
+
+    edge ≈ Σ_samples  w(sd) · (L_fg − L_bg) · ∂sd/∂θ
+
+L_bg ("what would this ray see if the winning sphere were absent") comes
+from ONE extra trace with the bounce-0 winner excluded
+(integrator.trace(exclude_prim0=...)) on the SAME RNG stream, so the
+difference is tightly correlated. The whole term is added to the sample
+radiance in the primal-zero autodiff form
+
+    w_detached · stopgrad(L_fg − L_bg) · (sd − stopgrad(sd))
+
+which is exactly 0.0 in the forward pass (images, oracle goldens and
+progressive accumulation are untouched) while its VJP contributes
+w · ΔL · ∂sd/∂θ. Scope: SPHERE silhouettes on PRIMARY rays (the term that
+dominates camera/object recovery); mesh silhouettes and secondary-bounce
+edges remain future work.
+
+No reference counterpart (the reference is forward-only).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam_mod
+from ..core import sampling
+from ..core import vecmath as vm
+from ..core.config import RenderConfig
+from ..core.integrator import trace
+from ..core.world import as_world, intersect_world
+
+# One-sided kernel width in pixel units.
+EDGE_KERNEL_PX = 1.0
+
+
+def _silhouette_g(origins, directions, centers, radii):
+    """g = r² − ρ² (ρ = perpendicular distance of the sphere center from the
+    ray line): positive strictly inside the silhouette cone, 0 on it."""
+    oc = centers - origins
+    d2 = vm.length_squared(directions)
+    inv_d = jnp.where(d2 > 1e-20, 1.0 / vm.safe_sqrt(d2), 0.0)
+    along = vm.dot(oc, directions) * inv_d
+    perp2 = jnp.maximum(vm.length_squared(oc) - along * along, 0.0)
+    return radii * radii - perp2
+
+
+def sample_radiance_edge_aware(scene, camera, cfg: RenderConfig,
+                               pix_keys, i, j, sample_idx):
+    """_sample_radiance plus the silhouette boundary term (primal-zero).
+
+    Same RNG contract as core/render._sample_radiance: identical streams,
+    identical forward radiance.
+    """
+    world = as_world(scene)
+    ns = world.spheres.num_spheres
+    samp_keys = sampling.sample_keys(pix_keys, sample_idx)
+    gen = sampling.stream_uniforms(samp_keys, sampling.STREAM_GEN,
+                                   sampling.UNIFORMS_GEN)
+    inv_w = 1.0 / max(cfg.width - 1, 1)
+    inv_h = 1.0 / max(cfg.height - 1, 1)
+
+    def rays_of(i_f, j_f):
+        s = (i_f + gen[:, 0]) * inv_w
+        t = (j_f + gen[:, 1]) * inv_h
+        return cam_mod.get_rays(camera, s, t, gen[:, 2], gen[:, 3])
+
+    origins, directions = rays_of(i, j)
+
+    # Full radiance — the ordinary estimator (xla intersector: the exclusion
+    # re-trace below must agree with this trace's bounce-0 winners).
+    l_full = trace(world, origins, directions, samp_keys, cfg.max_depth,
+                   cfg.t_min, intersector="xla", nee=cfg.nee,
+                   rr_start=cfg.rr_start)
+
+    # Bounce-0 winner (detached: selection only).
+    h0 = intersect_world(world, jax.lax.stop_gradient(origins),
+                         jax.lax.stop_gradient(directions), cfg.t_min,
+                         backend="xla")
+    is_sph = h0.hit & (h0.prim_idx < ns) & h0.front_face
+    widx = jnp.clip(h0.prim_idx, 0, ns - 1)
+    centers = world.spheres.center[widx]          # differentiable gathers
+    radii = world.spheres.radius[widx]
+
+    # Signed distance to the winner's silhouette in pixel units.
+    def g_of(i_f, j_f):
+        o, d = rays_of(i_f, j_f)
+        return _silhouette_g(o, d, centers, radii)
+
+    g = g_of(i, j)
+    _, gi = jax.jvp(lambda x: g_of(x, j), (i,), (jnp.ones_like(i),))
+    _, gj = jax.jvp(lambda y: g_of(i, y), (j,), (jnp.ones_like(j),))
+    grad_px = jax.lax.stop_gradient(vm.safe_sqrt(gi * gi + gj * gj))
+    sd = g / jnp.maximum(grad_px, 1e-20)
+    sd_det = jax.lax.stop_gradient(sd)
+
+    w_px = EDGE_KERNEL_PX
+    near_edge = is_sph & (sd_det > 0.0) & (sd_det <= w_px) & (grad_px > 1e-12)
+    w = jnp.where(near_edge, (2.0 / w_px) * (1.0 - sd_det / w_px), 0.0)
+
+    # Background radiance: same rays/streams, winner excluded at bounce 0.
+    excl = jnp.where(near_edge, h0.prim_idx, -1).astype(jnp.int32)
+    l_bg = trace(world, jax.lax.stop_gradient(origins),
+                 jax.lax.stop_gradient(directions), samp_keys,
+                 cfg.max_depth, cfg.t_min, intersector="xla", nee=cfg.nee,
+                 rr_start=cfg.rr_start, exclude_prim0=excl)
+
+    delta = jax.lax.stop_gradient(l_full - l_bg)
+    edge = (w * (sd - sd_det))[:, None] * delta
+    return l_full + edge

@@ -110,6 +110,7 @@ def make_train_step(
     trainable=DEFAULT_TRAINABLE,
     train_camera: bool = False,
     mesh=None,
+    edge_aware: bool = False,
 ):
     """Build (init_state, step_fn) for inverse rendering.
 
@@ -117,16 +118,41 @@ def make_train_step(
     trainable scene fields (and optionally every camera field). With a mesh,
     the forward/backward shards over ("sp","px") and shard_map's transpose
     psums the parameter gradients over ICI automatically.
+
+    edge_aware: include silhouette (visibility) gradients via the
+    screen-space boundary term (diff/edge.py) — required for reliable
+    camera/geometry recovery; ~2x trace cost.
     """
     cfg = grad_capable_config(cfg)
+    if edge_aware and not cfg.edge_aware:
+        cfg = dataclasses.replace(cfg, edge_aware=True)
     scene_params, rebuild_scene = split_scene(scene, trainable)
     params = {"scene": scene_params}
-    if train_camera:
+    if train_camera == "pose":
+        # Gauge-free pose parameterization: a single [3] world-space camera
+        # translation, applied to origin AND lower_left_corner together (a
+        # rigid translation of the whole camera — the perturbation class of
+        # BASELINE config 5). Optimizing the raw Camera pytree instead is
+        # overparameterized: origin and lower_left_corner can compensate
+        # each other, so the image converges while the pose does not.
+        params["camera"] = {"translate": jnp.zeros(3, jnp.float32)}
+    elif train_camera:
         params["camera"] = camera
+
+    def rebuild_camera(p):
+        cp = p.get("camera")
+        if cp is None:
+            return camera
+        if isinstance(cp, dict):
+            t = cp["translate"]
+            return dataclasses.replace(
+                camera, origin=camera.origin + t,
+                lower_left_corner=camera.lower_left_corner + t)
+        return cp
 
     def loss_fn(p, target, key):
         sc = rebuild_scene(p["scene"])
-        cam = p.get("camera", camera)
+        cam = rebuild_camera(p)
         return image_loss(sc, cam, cfg, key, target, mesh)
 
     def init_state():
@@ -148,4 +174,4 @@ def make_train_step(
                 new_params["scene"]["emission"], 0.0)
         return TrainState(new_params, opt_state, state.step + 1), loss
 
-    return init_state, step_fn, rebuild_scene
+    return init_state, step_fn, rebuild_scene, rebuild_camera

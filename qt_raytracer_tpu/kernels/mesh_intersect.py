@@ -246,14 +246,67 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive,
             idx_out[grp:grp+1, :] = jnp.zeros((1, LANE), jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
+def _part1by2(x):
+    """Spread the low 10 bits of x to every 3rd bit (Morton interleave)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def sort_keys(origins, directions, alive, lo, hi):
+    """Wavefront coherence sort key: (dead, origin Morton cell, direction
+    octant). Dead rays sort LAST so they pack into all-dead 128-ray groups
+    that the kernel's row_alive gate skips entirely (free compaction);
+    origin locality dominates direction because nearby origins cross nearby
+    cluster boxes. lo/hi: scene bounds (the BVH root box)."""
+    ext = jnp.maximum(hi - lo, 1e-6)
+    cell = jnp.clip(((origins - lo) / ext * 32.0).astype(jnp.int32), 0, 31)
+    morton = (_part1by2(cell[:, 0]) << 2) | (_part1by2(cell[:, 1]) << 1) \
+        | _part1by2(cell[:, 2])
+    octant = ((directions[:, 0] < 0).astype(jnp.int32) * 4
+              + (directions[:, 1] < 0).astype(jnp.int32) * 2
+              + (directions[:, 2] < 0).astype(jnp.int32))
+    key = (morton << 3) | octant
+    if alive is not None:
+        key = jnp.where(alive, key, jnp.int32(1 << 30))
+    return key
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret", "sort"))
 def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
-                       t_min: float, interpret: bool = False, alive=None):
+                       t_min: float, interpret: bool = False, alive=None,
+                       sort: bool = True):
     """Closest-hit over the mesh: (t [N] f32 BIG=miss, tri_idx [N] i32),
-    detached. tri_idx refers to the BVH-reordered triangle arrays."""
+    detached. tri_idx refers to the BVH-reordered triangle arrays.
+
+    sort=True reorders the wavefront by sort_keys before the kernel and
+    scatters results back — per-ray outputs are BITWISE identical for LIVE
+    lanes (each ray's Möller-Trumbore and min-reduce run in the lane
+    dimension, independent of its neighbors); only the per-group
+    cluster-gate unions change. Dead-lane outputs are unspecified in both
+    modes (unsorted: a visited cluster may record a hit on a dead lane;
+    sorted: dead rays pack into skipped groups and return BIG/0) — every
+    caller masks hit consumption with `alive` (tested:
+    tests/test_kernels.py). Measured (v5e, 100k-tri terrain, 414Ki
+    incoherent rays): 116 -> 44 gated clusters per 128-ray group."""
     origins = jax.lax.stop_gradient(origins)
     directions = jax.lax.stop_gradient(directions)
     mesh = jax.lax.stop_gradient(mesh)
+
+    n = origins.shape[0]
+    perm = None
+    if sort and n >= 2048:
+        key = sort_keys(origins, directions,
+                        None if alive is None else jax.lax.stop_gradient(alive),
+                        mesh.bvh_min[0], mesh.bvh_max[0])
+        perm = jnp.argsort(key)
+        origins = origins[perm]
+        directions = directions[perm]
+        if alive is not None:
+            alive = jax.lax.stop_gradient(alive)[perm]
 
     n = origins.shape[0]
     tile = GROUPS * LANE
@@ -311,4 +364,10 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
 
     t = jax.lax.stop_gradient(t.reshape(-1)[:n])
     idx = jax.lax.stop_gradient(idx.reshape(-1)[:n])
+    if perm is not None:
+        # Un-permute: sorted slot i holds ray perm[i]'s result.
+        t = jnp.zeros_like(t).at[perm].set(t, unique_indices=True,
+                                           mode="drop")
+        idx = jnp.zeros_like(idx).at[perm].set(idx, unique_indices=True,
+                                               mode="drop")
     return t, idx

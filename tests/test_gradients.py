@@ -133,7 +133,7 @@ def test_inverse_rendering_recovers_albedo():
         true_scene,
         albedo=true_scene.albedo.at[1].set(jnp.array([0.2, 0.8, 0.6])),
     )
-    init_state, step_fn, rebuild = make_train_step(
+    init_state, step_fn, rebuild, _ = make_train_step(
         wrong, cam, cfg, optax.adam(5e-2), trainable=("albedo",))
     state = init_state()
     losses = []
@@ -162,7 +162,7 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     wrong = dataclasses.replace(
         true_scene,
         albedo=true_scene.albedo.at[1].set(jnp.array([0.2, 0.8, 0.6])))
-    init_state, step_fn, _ = make_train_step(
+    init_state, step_fn, _, _ = make_train_step(
         wrong, cam, cfg, optax.adam(5e-2), trainable=("albedo",))
 
     # Straight-through: 4 steps.
