@@ -47,6 +47,17 @@ GROUPS = 8                 # 128-ray groups per grid step (1024 rays)
 # 128-tri rows per cluster (G = rows*128 triangles). Tunable for experiments
 # via QTRT_CLUSTER_ROWS; 4 measured best at first, see PERFORMANCE.md.
 CLUSTER_ROWS = int(os.environ.get("QTRT_CLUSTER_ROWS", "4"))
+# Möller-Trumbore engine: "vpu" (default) is the elementwise formulation;
+# "mxu" computes det/U/V/T as rank-<=6 bilinear forms with four
+# [128,q]@[q,128] MXU matmuls per tri row (precision HIGHEST). Same accept
+# logic; candidates round differently (measure-zero edge flips — both
+# validated against the XLA traversal in tests/test_mesh_kernel.py).
+# MEASURED (v5e, terrain, 414Ki rays, sorted): mxu is SLOWER — random-ray
+# batch 551 ms vs 360 ms — the f32-HIGHEST 6-pass decomposition plus
+# per-row operand assembly outweighs the VPU op savings at K<=6. Kept as a
+# tested variant; revisit if a bf16-candidate pass (PERFORMANCE.md roadmap)
+# lands.
+MT_MODE = os.environ.get("QTRT_MESH_MT", "vpu")
 
 
 def prep_mesh_clusters(mesh: TriangleMesh):
@@ -97,13 +108,60 @@ def prep_mesh_clusters(mesh: TriangleMesh):
     return tri_planes, box_planes, centers, radii, k, k_pad
 
 
-def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive,
-                 v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
-                 blox, bloy, bloz, bhix, bhiy, bhiz,
-                 t_out, idx_out,
-                 enters_ref, counts_ref, tb_ref, ib_ref,
-                 *, t_min: float, num_clusters: int, num_tris: int,
-                 k_rows: int):
+def build_mt_features(mesh: TriangleMesh, p_pad: int):
+    """Per-triangle bilinear-form factors for the MXU Möller-Trumbore.
+
+    With m = o×d, the four MT numerators separate into ray-side × tri-side
+    contractions (scalar-triple-product identities, verified in
+    tests/test_mesh_kernel.py):
+
+        det    = d · (-n)                    n  = e1×e2 (unnormalized)
+        U=u·det = m·e2 + d·c2                c2 = v0×e2
+        V=v·det = m·(-e1) + d·(-c1)          c1 = v0×e1
+        T=t·det = o·n + 1·(-v0·n)
+
+    Stored row-interleaved for one dynamic sublane slice per (row, quantity):
+      fdet [PR*3,128]: -n          fU [PR*6,128]: e2, c2
+      fV   [PR*6,128]: -e1, -c1    fT [PR*4,128]: n, -v0·n
+    Padding triangles have e1=e2=0 -> n=0 -> det=0 -> rejected.
+    """
+    p = mesh.v0.shape[0]
+
+    def pad(x, fill=0.0):
+        return jnp.pad(x, ((0, p_pad - p), (0, 0)), constant_values=fill)
+
+    v0 = pad(mesh.v0)
+    e1 = pad(mesh.e1)
+    e2 = pad(mesh.e2)
+    n = jnp.cross(e1, e2)
+    c1 = jnp.cross(v0, e1)
+    c2 = jnp.cross(v0, e2)
+    v0n = jnp.sum(v0 * n, axis=1, keepdims=True)
+
+    def interleave(parts):
+        # [p_pad, q] -> [PR*q, 128]: row r's q factor rows are contiguous.
+        q = parts.shape[1]
+        return jnp.transpose(parts.reshape(-1, LANE, q), (0, 2, 1)) \
+            .reshape(-1, LANE)
+
+    fdet = interleave(-n)
+    f_u = interleave(jnp.concatenate([e2, c2], axis=1))
+    f_v = interleave(jnp.concatenate([-e1, -c1], axis=1))
+    f_t = interleave(jnp.concatenate([n, -v0n], axis=1))
+    return fdet, f_u, f_v, f_t
+
+
+def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, *rest,
+                 t_min: float, num_clusters: int, num_tris: int,
+                 k_rows: int, mt_mode: str):
+    if mt_mode == "mxu":
+        (fdet, f_u, f_v, f_t,
+         blox, bloy, bloz, bhix, bhiy, bhiz,
+         t_out, idx_out, enters_ref, counts_ref, tb_ref, ib_ref) = rest
+    else:
+        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+         blox, bloy, bloz, bhix, bhiy, bhiz,
+         t_out, idx_out, enters_ref, counts_ref, tb_ref, ib_ref) = rest
     tcol = lambda row: jnp.transpose(row, (1, 0))      # (1,128) -> (128,1)
 
     for grp in range(GROUPS):
@@ -140,7 +198,62 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive,
             tb_ref[...] = jnp.full((128, 1), BIG, jnp.float32)
             ib_ref[...] = jnp.zeros((128, 1), jnp.int32)
 
-            def visit(c):
+            if mt_mode == "mxu":
+                # Ray-side factor matrices, built ONCE per group: the MT
+                # numerators are bilinear in (ray features) x (tri features)
+                # — see build_mt_features. K<=6 underfills the MXU but still
+                # beats the VPU broadcast formulation ~4x per visit.
+                mx = o[1] * d[2] - o[2] * d[1]          # m = o x d, (128,1)
+                my = o[2] * d[0] - o[0] * d[2]
+                mz = o[0] * d[1] - o[1] * d[0]
+                r6 = jnp.concatenate([mx, my, mz, d[0], d[1], d[2]], axis=1)
+                r3 = jnp.concatenate([d[0], d[1], d[2]], axis=1)
+                r4 = jnp.concatenate(
+                    [o[0], o[1], o[2], jnp.ones((128, 1), jnp.float32)],
+                    axis=1)
+                hi_prec = jax.lax.Precision.HIGHEST
+                dims = (((1,), (0,)), ((), ()))
+
+                def mm(a, b):
+                    return jax.lax.dot_general(
+                        a, b, dims, precision=hi_prec,
+                        preferred_element_type=jnp.float32)
+
+            def visit_mxu(c):
+                """MXU Möller-Trumbore over cluster c's CLUSTER_ROWS rows."""
+                row_base = c * CLUSTER_ROWS
+                t_best = tb_ref[...]                    # (128, 1)
+                idx_best = ib_ref[...]
+                for sub in range(CLUSTER_ROWS):
+                    row = row_base + sub
+                    det = mm(r3, fdet[pl.ds(row * 3, 3), :])   # (128, 128)
+                    uu = mm(r6, f_u[pl.ds(row * 6, 6), :])
+                    vv = mm(r6, f_v[pl.ds(row * 6, 6), :])
+                    tt = mm(r4, f_t[pl.ds(row * 4, 4), :])
+                    ok_det = jnp.abs(det) > 1e-12
+                    inv_det = jnp.where(ok_det, 1.0, 0.0) / jnp.where(
+                        ok_det, det, 1.0)
+                    u = uu * inv_det
+                    v = vv * inv_det
+                    t = tt * inv_det
+                    ok = (ok_det & (u >= 0.0) & (v >= 0.0)
+                          & (u + v <= 1.0) & (t >= t_min) & (t < t_best))
+                    tcand = jnp.where(ok, t, BIG)
+                    tmin_c = jnp.min(tcand, axis=1, keepdims=True)
+                    lanes = jax.lax.broadcasted_iota(jnp.int32, tcand.shape, 1)
+                    gid = row * LANE + lanes
+                    idx_c = jnp.min(
+                        jnp.where(tcand == tmin_c, gid, num_tris),
+                        axis=1, keepdims=True)
+                    better = tmin_c < t_best
+                    t_best = jnp.where(better, tmin_c, t_best)
+                    idx_best = jnp.where(
+                        better, jnp.where(idx_c >= num_tris, 0, idx_c),
+                        idx_best)
+                tb_ref[...] = t_best
+                ib_ref[...] = idx_best
+
+            def visit_vpu(c):
                 """Möller-Trumbore over cluster c's CLUSTER_ROWS tri rows."""
                 row_base = c * CLUSTER_ROWS
                 t_best = tb_ref[...]                    # (128, 1)
@@ -200,6 +313,8 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive,
             # miss lane keeps the termination cap at its farthest box exit
             # (see git history for the implementation). Revisit only with
             # per-lane walk termination.
+            visit = visit_mxu if mt_mode == "mxu" else visit_vpu
+
             def cluster_body(c, _):
                 @pl.when(counts_ref[c, 0] > 0)
                 def _():
@@ -219,9 +334,11 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive,
             # so images stay bitwise identical to the plain sweep.
             CAP_BLOCK = 32
             for b0 in range(0, num_clusters, CAP_BLOCK):
-                # (rays, clusters) <= (rays, 1) broadcast: natural layouts,
-                # no full-tile transposes (a (128,128)-transpose variant
-                # measured 4x slower than the un-capped sweep).
+                b1 = min(b0 + CAP_BLOCK, num_clusters)
+                # Per-lane cap over THIS block's columns only (recomputing
+                # all k_pad columns every block measured as a dominant fixed
+                # cost: ~0.5 ms/group at k=196). (rays, blk) <= (rays, 1)
+                # broadcast: natural layouts, no full-tile transposes.
                 # Clamp the slacked cap BELOW the BIG miss sentinel: without
                 # the clamp, a lane with t_best == BIG (no hit yet) gets cap
                 # BIG*1.0001 > BIG, so its BIG-valued MISSED-box entries gate
@@ -229,14 +346,17 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive,
                 # 414Ki-ray batch (every group visited every cluster) vs
                 # ~5 ms with the clamp.
                 cap = jnp.minimum(tb_ref[...] * 1.0001 + 1e-4, 1.0e37)
-                ok = enters_ref[...] <= cap
+                ok = enters_ref[:, b0:b1] <= cap         # (128, blk)
                 counts_row = jnp.sum(ok.astype(jnp.int32), axis=0,
-                                     keepdims=True)      # (1, clusters)
-                for kr in range(k_rows):
-                    counts_ref[kr * LANE:(kr + 1) * LANE, :] = jnp.transpose(
-                        counts_row[:, kr * LANE:(kr + 1) * LANE], (1, 0))
-                jax.lax.fori_loop(b0, min(b0 + CAP_BLOCK, num_clusters),
-                                  cluster_body, 0)
+                                     keepdims=True)      # (1, blk)
+
+                # Whole-block skip: coherent (sorted) groups leave most
+                # 32-cluster blocks empty — skip the scalar cluster loop
+                # entirely, not just its visits.
+                @pl.when(jnp.sum(counts_row) > 0)
+                def _(b0=b0, b1=b1, counts_row=counts_row):
+                    counts_ref[b0:b1, :] = jnp.transpose(counts_row, (1, 0))
+                    jax.lax.fori_loop(b0, b1, cluster_body, 0)
             t_out[grp:grp+1, :] = jnp.transpose(tb_ref[...], (1, 0))
             idx_out[grp:grp+1, :] = jnp.transpose(ib_ref[...], (1, 0))
 
@@ -269,16 +389,22 @@ def sort_keys(origins, directions, alive, lo, hi):
     octant = ((directions[:, 0] < 0).astype(jnp.int32) * 4
               + (directions[:, 1] < 0).astype(jnp.int32) * 2
               + (directions[:, 2] < 0).astype(jnp.int32))
-    key = (morton << 3) | octant
+    # OCTANT-major, then origin Morton: measured best gate-union shrinkage
+    # (terrain, 64Ki incoherent rays, 128-ray groups: unsorted 116.5 gated
+    # clusters -> origin-major 79 -> octant-major 41.6; finer direction
+    # quantization splits origin locality and REGRESSES: 2 bits/axis 55,
+    # 3 bits/axis 84).
+    key = (octant << 15) | morton
     if alive is not None:
         key = jnp.where(alive, key, jnp.int32(1 << 30))
     return key
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "interpret", "sort"))
+@functools.partial(jax.jit,
+                   static_argnames=("t_min", "interpret", "sort", "mt"))
 def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
                        t_min: float, interpret: bool = False, alive=None,
-                       sort: bool = True):
+                       sort: bool = True, mt: str = MT_MODE):
     """Closest-hit over the mesh: (t [N] f32 BIG=miss, tri_idx [N] i32),
     detached. tri_idx refers to the BVH-reordered triangle arrays.
 
@@ -331,18 +457,28 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
     pr = tri_planes[0].shape[0]
     kr = box_planes[0].shape[0]
 
+    if mt == "mxu":
+        feats = build_mt_features(mesh, k * CLUSTER_ROWS * LANE)
+        tri_args = list(feats)
+        tri_specs = [
+            pl.BlockSpec((f.shape[0], LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM) for f in feats]
+    else:
+        tri_args = list(tri_planes)
+        tri_specs = [pl.BlockSpec((pr, LANE), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 9
+
     ray_spec = pl.BlockSpec((GROUPS, LANE), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((pr, LANE), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     box_spec = pl.BlockSpec((kr, LANE), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
     t, idx = pl.pallas_call(
         functools.partial(_mesh_kernel, t_min=t_min, num_clusters=k,
-                          num_tris=mesh.num_triangles, k_rows=kr),
+                          num_tris=mesh.num_triangles, k_rows=kr,
+                          mt_mode=mt),
         grid=(nb,),
-        in_specs=[ray_spec] * 7 + [tri_spec] * 9 + [box_spec] * 6,
+        in_specs=[ray_spec] * 7 + tri_specs + [box_spec] * 6,
         out_specs=(ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.float32),
@@ -360,7 +496,7 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*rays, *tri_planes, *box_planes)
+    )(*rays, *tri_args, *box_planes)
 
     t = jax.lax.stop_gradient(t.reshape(-1)[:n])
     idx = jax.lax.stop_gradient(idx.reshape(-1)[:n])

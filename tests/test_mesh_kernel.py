@@ -1,0 +1,68 @@
+"""Clustered mesh-kernel tests (interpreter mode on CPU): both MT engines
+(VPU elementwise and MXU bilinear-form) against the XLA BVH traversal, the
+wavefront coherence sort, and dead-lane semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qt_raytracer_tpu.accel.traverse import intersect_mesh
+from qt_raytracer_tpu.kernels.mesh_intersect import mesh_search_pallas
+from qt_raytracer_tpu.models import meshes
+
+BIG = 1e30
+
+
+@pytest.fixture(scope="module")
+def setup():
+    world = meshes.terrain_world(nx=48, nz=48)
+    mesh = world.mesh
+    k = jax.random.PRNGKey(3)
+    n = 4096
+    o = jax.random.uniform(k, (n, 3), minval=-4.0, maxval=4.0).at[:, 1].add(3.0)
+    d = jax.random.normal(jax.random.fold_in(k, 1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    ref = intersect_mesh(mesh, o, d, 1e-3)
+    return mesh, o, d, ref
+
+
+@pytest.mark.parametrize("mt", ["vpu", "mxu"])
+def test_kernel_matches_xla_traversal(setup, mt):
+    mesh, o, d, ref = setup
+    t, i = mesh_search_pallas(mesh, o, d, 1e-3, interpret=True, mt=mt)
+    t, i = np.asarray(t), np.asarray(i)
+    rh = np.asarray(ref.hit)
+    h = t < BIG
+    # Hit classification and winning triangle must agree except at
+    # measure-zero edge/tie flips (observed: exact agreement at this size).
+    assert (h == rh).mean() > 0.999
+    both = h & rh
+    assert (i[both] == np.asarray(ref.tri_idx)[both]).mean() > 0.999
+    match = both & (i == np.asarray(ref.tri_idx))
+    np.testing.assert_allclose(t[match], np.asarray(ref.t)[match],
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mt", ["vpu", "mxu"])
+def test_sort_bitwise_on_live_lanes(setup, mt):
+    # The coherence sort may not change any LIVE lane's result bitwise
+    # (per-ray math is lane-independent); dead lanes are don't-care.
+    mesh, o, d, _ = setup
+    alive = np.asarray(jax.random.bernoulli(jax.random.PRNGKey(7), 0.6,
+                                            (o.shape[0],)))
+    t0, i0 = mesh_search_pallas(mesh, o, d, 1e-3, interpret=True,
+                                alive=jnp.asarray(alive), sort=False, mt=mt)
+    t1, i1 = mesh_search_pallas(mesh, o, d, 1e-3, interpret=True,
+                                alive=jnp.asarray(alive), sort=True, mt=mt)
+    t0, t1, i0, i1 = map(np.asarray, (t0, t1, i0, i1))
+    np.testing.assert_array_equal(t0[alive], t1[alive])
+    np.testing.assert_array_equal(i0[alive], i1[alive])
+
+
+def test_all_dead_returns_miss(setup):
+    mesh, o, d, _ = setup
+    alive = jnp.zeros((o.shape[0],), bool)
+    t, i = mesh_search_pallas(mesh, o, d, 1e-3, interpret=True, alive=alive)
+    assert np.all(np.asarray(t) >= BIG)
+    assert np.all(np.asarray(i) == 0)
