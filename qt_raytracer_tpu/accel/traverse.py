@@ -13,10 +13,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .mesh import TriangleMesh, TriHit
 
-BIG = jnp.float32(3.0e38)
+# np scalar, not jnp: module import must not initialize the XLA backend
+# (multi-host bootstrap needs jax.distributed.initialize() FIRST —
+# tests/distributed_worker.py).
+BIG = np.float32(3.0e38)
 
 
 def _slab_test(bmin, bmax, o, inv_d, t_min, t_max):

@@ -22,11 +22,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import vecmath as vm
 from .scene import SphereScene
 
-BIG = jnp.float32(3.0e38)  # stand-in for +inf that survives arithmetic
+BIG = np.float32(3.0e38)  # +inf stand-in that survives arithmetic; np not
+#                           jnp: import must not init the XLA backend
 
 
 class Hits(NamedTuple):

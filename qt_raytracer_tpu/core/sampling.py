@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 TWO_PI = 6.283185307179586
 
@@ -110,8 +111,9 @@ def stream_uniforms(samp_keys: jax.Array, stream_id, n: int) -> jax.Array:
 # mesh invariance). Far stronger than the reference GPU kernels' single-pass
 # hash32 (GpuPathTracer.cpp:151-162); statistical quality is validated in
 # tests (uniformity + stream decorrelation).
-GOLDEN = jnp.uint32(0x9E3779B9)   # 2^32 / phi (Weyl increment)
-WEYL2 = jnp.uint32(0x85EBCA77)
+GOLDEN = np.uint32(0x9E3779B9)   # 2^32 / phi (Weyl increment); np not jnp:
+#                                  import must not init the XLA backend
+WEYL2 = np.uint32(0x85EBCA77)
 
 
 def _is_hash_state(x) -> bool:
