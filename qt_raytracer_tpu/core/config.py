@@ -92,7 +92,8 @@ class RenderConfig:
             raise ValueError(f"quantizer must be 'cpu' or 'gpu', got {self.quantizer!r}")
         if self.intersector not in ("auto", "xla", "pallas",
                                     "pallas_interpret", "fused",
-                                    "fused_interpret"):
+                                    "fused_interpret", "fused_diff",
+                                    "fused_diff_interpret"):
             raise ValueError(f"unknown intersector {self.intersector!r}")
         if self.rng not in ("threefry", "hash"):
             raise ValueError(f"unknown rng {self.rng!r}")

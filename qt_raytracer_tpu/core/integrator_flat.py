@@ -214,20 +214,33 @@ def trace_flat(
     nee: bool = False,
     rr_start: int = 0,
     interpret: bool = False,
+    diff: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in replacement for integrator.trace (sphere scenes, forward-only).
+    """Drop-in replacement for integrator.trace (sphere scenes).
 
     Same signature contract: origins/directions [N,3], returns radiance
     [N,3]. Internally pads N up to a multiple of the 1024-ray kernel tile
     with dead rays (bit-transparent: dead rows are skipped and sliced off).
 
-    Forward-only: differentiating through this function raises (custom_vjp
-    guard) instead of silently returning zero gradients from the detached
-    Pallas outputs — gradient renders use intersector="pallas"/"xla"
-    (diff/inverse pins this automatically).
+    diff=False (default): fastest forward path — the fused kernel computes
+    every hit quantity in VMEM, all detached. Differentiating through it
+    raises (custom_vjp guard) instead of silently returning zero gradients.
+
+    diff=True: GRADIENT-capable fast path (VERDICT r1 item 6). The fused
+    kernel runs in shadow_only mode for SELECTION only (winner idx + t,
+    detached decisions — the estimator's contract); every quantity gradients
+    flow through (refined t, hit point, normal, material params) is
+    re-derived in XLA from the scene tensors on flat components. Keeps the
+    flat-SoA carries (no [N,3]<->(rows,128) relayout tax) and costs ONE
+    packed [N,16] param gather — the same gather the gradient path needs
+    anyway to reach the scene parameters.
     """
     if not isinstance(scene, SphereScene):
         raise TypeError("trace_flat handles SphereScene only")
+    if diff:
+        return _trace_flat_impl(scene, origins, directions, sample_keys,
+                                max_depth, float(t_min), bool(nee),
+                                int(rr_start), bool(interpret), diff=True)
     return _trace_flat_guarded(scene, origins, directions, sample_keys,
                                max_depth, float(t_min), bool(nee),
                                int(rr_start), bool(interpret))
@@ -258,8 +271,62 @@ def _trace_flat_bwd(max_depth, t_min, nee, rr_start, interpret, res, g):
 _trace_flat_guarded.defvjp(_trace_flat_fwd, _trace_flat_bwd)
 
 
+def _rederive_hits_flat(scene, ox, oy, oz, dx, dy, dz, t_sel, idx, t_min):
+    """Differentiable winner re-derivation on flat components.
+
+    Mirrors intersect.intersect_spheres' refinement EXACTLY (Citardauq
+    roots, same guards — core/intersect.py:160-190): selection (idx, hit)
+    is detached, values are differentiable functions of the scene tensors.
+    Returns the same dict contract as fused_hit_pallas(shadow_only=False).
+    """
+    params = packed_param_table(scene)[idx]                # [N,16] diff
+    cxs, cys, czs = params[:, 0], params[:, 1], params[:, 2]
+    r = params[:, 3]
+
+    ocx, ocy, ocz = ox - cxs, oy - cys, oz - czs
+    a1 = dx * dx + dy * dy + dz * dz
+    half_b = ocx * dx + ocy * dy + ocz * dz
+    c1 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+    disc = half_b * half_b - a1 * c1
+    sqrtd = _safe_sqrt(disc)
+    sq_signed = jnp.where(half_b >= 0.0, sqrtd, -sqrtd)
+    q1 = -half_b - sq_signed
+    q1_safe = jnp.where(q1 == 0.0, 1.0, q1)
+    root_a = q1 / a1
+    root_b = jnp.where(q1 == 0.0, 0.0, c1 / q1_safe)
+    near = jnp.where(half_b >= 0.0, root_a, root_b)
+    far = jnp.where(half_b >= 0.0, root_b, root_a)
+    near_ok = near >= t_min
+    t_fine = jnp.where(near_ok, near, far)
+    fine_ok = (disc >= 0.0) & (near_ok | (far >= t_min))
+
+    hit = t_sel < BIG                                      # detached decision
+    t = jnp.where(hit & fine_ok, t_fine, jax.lax.stop_gradient(t_sel))
+    t_safe = jnp.where(hit, t, 1.0)
+    px = ox + t_safe * dx
+    py = oy + t_safe * dy
+    pz = oz + t_safe * dz
+    r_safe = jnp.where(r == 0.0, 1.0, r)
+    owx = (px - cxs) / r_safe
+    owy = (py - cys) / r_safe
+    owz = (pz - czs) / r_safe
+    ff = dx * owx + dy * owy + dz * owz < 0.0
+    sgn = jnp.where(ff, 1.0, -1.0)
+    return {
+        "t": t, "idx": idx, "mat": params[:, 9].astype(jnp.int32),
+        "ff": ff.astype(jnp.int32),
+        "px": px, "py": py, "pz": pz,
+        "nx": sgn * owx, "ny": sgn * owy, "nz": sgn * owz,
+        "ax": params[:, 4], "ay": params[:, 5], "az": params[:, 6],
+        "fuzz": params[:, 7], "ior": params[:, 8],
+        "ex": params[:, 10], "ey": params[:, 11], "ez": params[:, 12],
+        "rw": r,
+    }
+
+
 def _trace_flat_impl(scene, origins, directions, sample_keys,
-                     max_depth, t_min, nee, rr_start, interpret):
+                     max_depth, t_min, nee, rr_start, interpret,
+                     diff=False):
     n = origins.shape[0]
     n_pad = (-n) % TILE
 
@@ -290,8 +357,15 @@ def _trace_flat_impl(scene, origins, directions, sample_keys,
     def bounce(state, depth_idx):
         (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
          alive, prev_pdf) = state
-        h = fused_hit_pallas(scene, ox, oy, oz, dx, dy, dz, alive,
-                             float(t_min), interpret=interpret)
+        if diff:
+            sel = fused_hit_pallas(scene, ox, oy, oz, dx, dy, dz, alive,
+                                   float(t_min), shadow_only=True,
+                                   interpret=interpret)
+            h = _rederive_hits_flat(scene, ox, oy, oz, dx, dy, dz,
+                                    sel["t"], sel["idx"], t_min)
+        else:
+            h = fused_hit_pallas(scene, ox, oy, oz, dx, dy, dz, alive,
+                                 float(t_min), interpret=interpret)
         hit = h["t"] < BIG
         ff = h["ff"] > 0
 

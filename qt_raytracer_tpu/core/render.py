@@ -69,15 +69,18 @@ def _trace_dispatch(scene, origins, directions, samp_keys, cfg: RenderConfig):
     on the same RNG stream; the flat path is forward-only (bench/preview),
     mesh worlds and gradient renders take the general path."""
     backend = resolve_intersector(cfg)
-    if backend in ("fused", "fused_interpret"):
+    if backend in ("fused", "fused_interpret", "fused_diff",
+                   "fused_diff_interpret"):
         if isinstance(scene, SphereScene):
             from .integrator_flat import trace_flat
 
             return trace_flat(scene, origins, directions, samp_keys,
                               cfg.max_depth, cfg.t_min, nee=cfg.nee,
                               rr_start=cfg.rr_start,
-                              interpret=(backend == "fused_interpret"))
-        backend = ("pallas" if backend == "fused" else "pallas_interpret")
+                              interpret=backend.endswith("interpret"),
+                              diff=backend.startswith("fused_diff"))
+        backend = ("pallas_interpret" if backend.endswith("interpret")
+                   else "pallas")
     return trace(scene, origins, directions, samp_keys, cfg.max_depth,
                  cfg.t_min, intersector=backend, nee=cfg.nee,
                  rr_start=cfg.rr_start)

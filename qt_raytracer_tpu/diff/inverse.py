@@ -35,12 +35,16 @@ DEFAULT_TRAINABLE = ("albedo", "emission")
 
 
 def grad_capable_config(cfg: RenderConfig) -> RenderConfig:
-    """Pin a differentiable intersector: the fused flat path is forward-only
-    (its custom_vjp raises), so gradient renders route through the v1 Pallas
-    kernel + XLA re-derives instead."""
+    """Pin a differentiable intersector: the plain fused flat path is
+    forward-only (its custom_vjp raises), so gradient renders route through
+    "fused_diff" — the flat-SoA integrator with the fused kernel for
+    SELECTION and XLA re-derives for every differentiable quantity (sphere
+    scenes; mesh worlds inside _trace_dispatch fall back to the v1 kernel +
+    re-derive path)."""
     resolved = resolve_intersector(cfg)
     if resolved in ("fused", "fused_interpret"):
-        pinned = "pallas" if resolved == "fused" else "pallas_interpret"
+        pinned = ("fused_diff" if resolved == "fused"
+                  else "fused_diff_interpret")
         return dataclasses.replace(cfg, intersector=pinned)
     return cfg
 

@@ -216,9 +216,36 @@ def test_trace_flat_gradients_raise():
 def test_make_train_step_pins_grad_capable_intersector():
     from qt_raytracer_tpu.diff.inverse import grad_capable_config
     assert grad_capable_config(
-        RenderConfig(intersector="fused")).intersector == "pallas"
+        RenderConfig(intersector="fused")).intersector == "fused_diff"
     assert grad_capable_config(
         RenderConfig(intersector="fused_interpret")).intersector == \
-        "pallas_interpret"
+        "fused_diff_interpret"
     assert grad_capable_config(
         RenderConfig(intersector="xla")).intersector == "xla"
+
+
+def test_fused_diff_forward_and_grads_match_xla():
+    # VERDICT r1 item 6: the gradient-capable flat path (fused kernel for
+    # selection + XLA re-derive for values) must reproduce the xla path's
+    # forward AND gradients (selection identical, values mirror the same
+    # refinement; measured maxdiff ~1e-10 on albedo grads).
+    import dataclasses as dc
+    from qt_raytracer_tpu.diff.inverse import mean_image
+    scene, cam = scenes.get_scene("three_sphere", 1.5)
+    cfg_x = RenderConfig(width=24, height=16, spp=2, max_depth=4,
+                         intersector="xla")
+    cfg_f = dc.replace(cfg_x, intersector="fused_diff_interpret")
+    key = jax.random.PRNGKey(0)
+    a = np.asarray(mean_image(scene, cam, cfg_x, key))
+    b = np.asarray(mean_image(scene, cam, cfg_f, key))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    target = mean_image(scene, cam, cfg_x, jax.random.PRNGKey(9))
+
+    def loss(albedo, cfg):
+        sc = dc.replace(scene, albedo=albedo)
+        return jnp.mean((mean_image(sc, cam, cfg, key) - target) ** 2)
+
+    gx = np.asarray(jax.grad(lambda al: loss(al, cfg_x))(scene.albedo))
+    gf = np.asarray(jax.grad(lambda al: loss(al, cfg_f))(scene.albedo))
+    np.testing.assert_allclose(gx, gf, atol=1e-7, rtol=1e-4)
