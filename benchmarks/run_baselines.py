@@ -29,6 +29,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import jax
 import numpy as np
 
+ORACLE_FULL = False
+
 
 def _bench_render(name, scene, cam, cfg, iters=3):
     import jax.numpy as jnp
@@ -68,8 +70,10 @@ def config1(scale):
     scene, cam = scenes.get_scene("three_sphere", 1.0)
     _bench_render("1_three_sphere_diffuse", scene, cam, cfg)
 
-    # Oracle validation at tiny size (the full-size check is O(minutes) in
-    # scalar python; tests/ cover it exhaustively at small sizes).
+    # Oracle validation. Default: tiny crop against the scalar oracle.
+    # --oracle-full: FULL-SIZE f64 validation against the vectorized oracle
+    # (testing/oracle_vec.py) — the north-star "forward image allclose at
+    # equal spp/seed" row at real resolution.
     from qt_raytracer_tpu.core.render import render_linear
     from qt_raytracer_tpu.testing import oracle
     vcfg = RenderConfig(width=16, height=16, spp=2, max_depth=4, rng="hash")
@@ -78,6 +82,18 @@ def config1(scale):
     want = oracle.render_oracle_linear(scene, cam, vcfg, key) / 2
     ok = bool(np.allclose(got, want, atol=2e-3, rtol=2e-3))
     print(json.dumps({"config": "1_oracle_allclose", "passed": ok}))
+    if ORACLE_FULL:
+        from qt_raytracer_tpu.testing.oracle_vec import render_oracle_vec
+        fcfg = RenderConfig(width=side, height=side, spp=min(cfg.spp, 8),
+                            max_depth=cfg.max_depth, rng="hash")
+        img = np.asarray(render_linear(scene, cam, fcfg, key), np.float64)
+        ref = render_oracle_vec(scene, cam, fcfg, key)
+        per = np.max(np.abs(img - ref), axis=-1) / (np.max(ref, -1) + 1e-3)
+        mism = float((per > 2e-3).mean())
+        print(json.dumps({
+            "config": "1_oracle_full", "width": fcfg.width,
+            "spp": fcfg.spp, "mismatch_fraction": round(mism, 5),
+            "passed": bool(mism < 0.04)}))
 
 
 def config2(scale):
@@ -163,7 +179,12 @@ def main():
                     default=[1, 2, 3, 4, 5])
     ap.add_argument("--scale", type=float, default=1.0,
                     help="resolution scale factor (CI smoke: 0.1)")
+    ap.add_argument("--oracle-full", action="store_true",
+                    help="config 1: full-size f64 validation against the "
+                         "vectorized oracle (O(30s) numpy)")
     args = ap.parse_args()
+    global ORACLE_FULL
+    ORACLE_FULL = args.oracle_full
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
     for c in args.configs:
         fns[c](args.scale)

@@ -142,9 +142,14 @@ def intersect_world(world: World, origins, directions, t_min,
     if backend in ("pallas", "pallas_interpret"):
         from ..kernels.mesh_intersect import mesh_search_pallas
 
+        # Seed the kernel's per-lane cap with the sphere winner: clusters
+        # beyond it prune from the first block (the oracle's mesh query is
+        # sphere-capped the same way). Lanes whose true winner is a sphere
+        # come back as mesh-miss, which the merge below reproduces exactly.
         t_m, idx_m = mesh_search_pallas(
             mesh, origins, directions, float(t_min),
-            interpret=(backend == "pallas_interpret"), alive=alive)
+            interpret=(backend == "pallas_interpret"), alive=alive,
+            t_cap=jnp.where(hs.hit, jax.lax.stop_gradient(hs.t), BIG))
         from ..accel.mesh import TriHit
         th = TriHit(t=t_m, tri_idx=idx_m, hit=t_m < BIG)
     else:

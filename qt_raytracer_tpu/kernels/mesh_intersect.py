@@ -151,7 +151,7 @@ def build_mt_features(mesh: TriangleMesh, p_pad: int):
     return fdet, f_u, f_v, f_t
 
 
-def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, *rest,
+def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                  t_min: float, num_clusters: int, num_tris: int,
                  k_rows: int, mt_mode: str):
     if mt_mode == "mxu":
@@ -195,7 +195,13 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, *rest,
                 enters_ref[:, kr * LANE:(kr + 1) * LANE] = jnp.where(
                     mask, enter, BIG)                    # (rays, clusters)
 
-            tb_ref[...] = jnp.full((128, 1), BIG, jnp.float32)
+            # Per-lane initial cap: the closest SPHERE hit (BIG when none).
+            # Mirrors the oracle's sphere-capped mesh query
+            # (testing/oracle.py _trace_one: t_max = sphere t) and prunes
+            # every cluster beyond the sphere winner from the first block —
+            # on the terrain most downward rays hit the ground sphere.
+            cap_col = jnp.where(alive_col, tcol(tcap[grp:grp+1, :]), BIG)
+            tb_ref[...] = cap_col
             ib_ref[...] = jnp.zeros((128, 1), jnp.int32)
 
             if mt_mode == "mxu":
@@ -357,8 +363,15 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, *rest,
                 def _(b0=b0, b1=b1, counts_row=counts_row):
                     counts_ref[b0:b1, :] = jnp.transpose(counts_row, (1, 0))
                     jax.lax.fori_loop(b0, b1, cluster_body, 0)
-            t_out[grp:grp+1, :] = jnp.transpose(tb_ref[...], (1, 0))
-            idx_out[grp:grp+1, :] = jnp.transpose(ib_ref[...], (1, 0))
+            # A lane reports a MESH hit only if some triangle BEAT its
+            # initial sphere cap (t < cap, same strict compare the caller's
+            # sphere/mesh merge uses).
+            tbv = tb_ref[...]
+            won = tbv < cap_col
+            t_out[grp:grp+1, :] = jnp.transpose(
+                jnp.where(won, tbv, BIG), (1, 0))
+            idx_out[grp:grp+1, :] = jnp.transpose(
+                jnp.where(won, ib_ref[...], 0), (1, 0))
 
         @pl.when(jnp.logical_not(row_alive))
         def _(grp=grp):
@@ -404,7 +417,7 @@ def sort_keys(origins, directions, alive, lo, hi):
                    static_argnames=("t_min", "interpret", "sort", "mt"))
 def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
                        t_min: float, interpret: bool = False, alive=None,
-                       sort: bool = True, mt: str = MT_MODE):
+                       sort: bool = True, mt: str = MT_MODE, t_cap=None):
     """Closest-hit over the mesh: (t [N] f32 BIG=miss, tri_idx [N] i32),
     detached. tri_idx refers to the BVH-reordered triangle arrays.
 
@@ -433,6 +446,8 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
         directions = directions[perm]
         if alive is not None:
             alive = jax.lax.stop_gradient(alive)[perm]
+        if t_cap is not None:
+            t_cap = jax.lax.stop_gradient(t_cap)[perm]
 
     n = origins.shape[0]
     tile = GROUPS * LANE
@@ -451,6 +466,13 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
             jax.lax.stop_gradient(alive).astype(jnp.int32), (0, n_pad - n)
         ).reshape(nb * GROUPS, LANE)
     rays.append(alive_arr)
+    if t_cap is None:
+        tcap_arr = jnp.full((nb * GROUPS, LANE), BIG, jnp.float32)
+    else:
+        tcap_arr = jnp.pad(jax.lax.stop_gradient(t_cap),
+                           (0, n_pad - n), constant_values=BIG
+                           ).reshape(nb * GROUPS, LANE)
+    rays.append(tcap_arr)
 
     tri_planes, box_planes, centers, radii, k, k_pad = \
         prep_mesh_clusters(mesh)
@@ -478,7 +500,7 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
                           num_tris=mesh.num_triangles, k_rows=kr,
                           mt_mode=mt),
         grid=(nb,),
-        in_specs=[ray_spec] * 7 + tri_specs + [box_spec] * 6,
+        in_specs=[ray_spec] * 8 + tri_specs + [box_spec] * 6,
         out_specs=(ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.float32),
