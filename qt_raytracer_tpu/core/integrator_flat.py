@@ -215,6 +215,7 @@ def trace_flat(
     rr_start: int = 0,
     interpret: bool = False,
     diff: bool = False,
+    compact: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for integrator.trace (sphere scenes).
 
@@ -240,27 +241,32 @@ def trace_flat(
     if diff:
         return _trace_flat_impl(scene, origins, directions, sample_keys,
                                 max_depth, float(t_min), bool(nee),
-                                int(rr_start), bool(interpret), diff=True)
+                                int(rr_start), bool(interpret), diff=True,
+                                compact=bool(compact))
     return _trace_flat_guarded(scene, origins, directions, sample_keys,
                                max_depth, float(t_min), bool(nee),
-                               int(rr_start), bool(interpret))
+                               int(rr_start), bool(interpret),
+                               bool(compact))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _trace_flat_guarded(scene, origins, directions, sample_keys,
-                        max_depth, t_min, nee, rr_start, interpret):
+                        max_depth, t_min, nee, rr_start, interpret, compact):
     return _trace_flat_impl(scene, origins, directions, sample_keys,
-                            max_depth, t_min, nee, rr_start, interpret)
+                            max_depth, t_min, nee, rr_start, interpret,
+                            compact=compact)
 
 
 def _trace_flat_fwd(scene, origins, directions, sample_keys,
-                    max_depth, t_min, nee, rr_start, interpret):
+                    max_depth, t_min, nee, rr_start, interpret, compact):
     out = _trace_flat_impl(scene, origins, directions, sample_keys,
-                           max_depth, t_min, nee, rr_start, interpret)
+                           max_depth, t_min, nee, rr_start, interpret,
+                           compact=compact)
     return out, None
 
 
-def _trace_flat_bwd(max_depth, t_min, nee, rr_start, interpret, res, g):
+def _trace_flat_bwd(max_depth, t_min, nee, rr_start, interpret, compact,
+                    res, g):
     raise ValueError(
         "trace_flat (intersector='fused') is forward-only: the fused Pallas "
         "kernel detaches every hit quantity, so gradients would be silently "
@@ -326,7 +332,7 @@ def _rederive_hits_flat(scene, ox, oy, oz, dx, dy, dz, t_sel, idx, t_min):
 
 def _trace_flat_impl(scene, origins, directions, sample_keys,
                      max_depth, t_min, nee, rr_start, interpret,
-                     diff=False):
+                     diff=False, compact=False):
     n = origins.shape[0]
     n_pad = (-n) % TILE
 
@@ -351,12 +357,43 @@ def _trace_flat_impl(scene, origins, directions, sample_keys,
     # Padding lanes (constant 0 directions) come out dead, as required.
     alive0 = padf(origins[:, 0] * 0.0 + 1.0) > 0.5
     do_nee = bool(nee) and scene.num_lights > 0
+    n_tot = ox.shape[0]
+    # Original lane id, derived from an INPUT (shard_map varying-carry rule);
+    # f32 iota is exact to 2^24 lanes. Restores pixel order after compaction.
+    pid = (padf(origins[:, 0]) * 0.0
+           + jnp.arange(n_tot, dtype=jnp.float32)).astype(jnp.int32)
     state = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
-             alive0, zero - 1.0)  # ..., alive, prev_pdf (-1 = full weight)
+             alive0, zero - 1.0,  # ..., alive, prev_pdf (-1 = full weight)
+             keys, pid)
 
     def bounce(state, depth_idx):
         (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
-         alive, prev_pdf) = state
+         alive, prev_pdf, keys, pid) = state
+        if compact:
+            # Alive-compaction sort: pack live rays into a dense prefix so
+            # whole 128-lane kernel rows go dead (the kernel's row_alive
+            # gate skips them). Stable argsort keeps live rays in lane
+            # order; every per-ray quantity rides along (keys drive the
+            # RNG, pid restores pixel order at the end), so per-ray values
+            # — and the final image — are BITWISE unchanged (tested).
+            # MEASURED REFUTATION (v5e, headline 1080p d10): default OFF.
+            # In-scan permutation forces a relayout of every flat carry
+            # between the linear gather layout and the kernel's (rows,128)
+            # tiles — ~116 ms per bounce-chunk at 414Ki rays (bench 11.08
+            # -> 0.35 Msamples/s), dwarfing the ~4.5x kernel-row saving
+            # (alive decays 0.83 -> 0.02; unsorted dead-ROW fraction only
+            # reaches 0.36). An isolated argsort+gathers microbench reads
+            # ~0.1 ms — the cost is the LAYOUT chain, not the sort. The
+            # mesh kernel keeps its boundary sort (measured 1.7x win: its
+            # kernel is 30x costlier than the sort's relayouts).
+            order = jnp.argsort(jnp.where(alive, 0, 1).astype(jnp.int32),
+                                stable=True)
+            g = lambda x: x[order]
+            (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, prev_pdf,
+             pid) = map(g, (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry,
+                            rz, prev_pdf, pid))
+            alive = g(alive)
+            keys = g(keys)
         if diff:
             sel = fused_hit_pallas(scene, ox, oy, oz, dx, dy, dz, alive,
                                    float(t_min), shadow_only=True,
@@ -431,9 +468,14 @@ def _trace_flat_impl(scene, origins, directions, sample_keys,
                                  jnp.maximum(cos_next, 0.0) * INV_PI, -1.0)
             prev_pdf = jnp.where(continues, pdf_next, prev_pdf)
         return (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
-                continues, prev_pdf), None
+                continues, prev_pdf, keys, pid), None
 
     state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth), unroll=1)
-    rx, ry, rz = state[9], state[10], state[11]
-    rad = jnp.stack([rx[:n], ry[:n], rz[:n]], axis=-1)
-    return rad
+    rx, ry, rz, pid = state[9], state[10], state[11], state[15]
+    rad = jnp.stack([rx, ry, rz], axis=-1)
+    if compact:
+        # Undo the composed per-bounce permutations: lane i holds ray
+        # pid[i]'s radiance.
+        rad = jnp.zeros_like(rad).at[pid].set(rad, unique_indices=True,
+                                              mode="drop")
+    return rad[:n]

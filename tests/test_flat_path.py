@@ -249,3 +249,41 @@ def test_fused_diff_forward_and_grads_match_xla():
     gx = np.asarray(jax.grad(lambda al: loss(al, cfg_x))(scene.albedo))
     gf = np.asarray(jax.grad(lambda al: loss(al, cfg_f))(scene.albedo))
     np.testing.assert_allclose(gx, gf, atol=1e-7, rtol=1e-4)
+
+
+def test_compact_mode_is_bitwise_and_grad_identical():
+    # Alive-compaction (trace_flat(compact=True)) permutes lanes per bounce
+    # but every per-ray value rides the permutation: images and gradients
+    # must be BITWISE identical to compact=False. (Default is off on the
+    # sphere path — measured relayout cost, see docs/PERFORMANCE.md — but
+    # the switch must stay correct for re-measurement.)
+    import dataclasses as dc
+    from qt_raytracer_tpu.core import camera as cam_mod
+    from qt_raytracer_tpu.core import sampling
+    from qt_raytracer_tpu.core.integrator_flat import trace_flat
+    from qt_raytracer_tpu.core.render import pixel_grid
+
+    cfg = RenderConfig(width=48, height=32, spp=1, max_depth=5)
+    scene, cam = scenes.get_scene("random", cfg.aspect_ratio)
+    i, j, pix = pixel_grid(cfg)
+    pk = sampling.pixel_states(jax.random.PRNGKey(0), pix, cfg.rng)
+    sk = sampling.sample_keys(pk, jnp.uint32(0))
+    gen = sampling.stream_uniforms(sk, sampling.STREAM_GEN,
+                                   sampling.UNIFORMS_GEN)
+    s = (i + gen[:, 0]) / (cfg.width - 1)
+    t = (j + gen[:, 1]) / (cfg.height - 1)
+    o, d = cam_mod.get_rays(cam, s, t, gen[:, 2], gen[:, 3])
+    a = np.asarray(trace_flat(scene, o, d, sk, 5, interpret=True,
+                              compact=False))
+    b = np.asarray(trace_flat(scene, o, d, sk, 5, interpret=True,
+                              compact=True))
+    np.testing.assert_array_equal(a, b)
+
+    def loss(albedo, compact):
+        sc = dc.replace(scene, albedo=albedo)
+        return jnp.sum(trace_flat(sc, o, d, sk, 3, interpret=True,
+                                  diff=True, compact=compact))
+
+    g0 = np.asarray(jax.grad(lambda x: loss(x, False))(scene.albedo))
+    g1 = np.asarray(jax.grad(lambda x: loss(x, True))(scene.albedo))
+    np.testing.assert_array_equal(g0, g1)
