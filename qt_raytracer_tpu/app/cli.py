@@ -139,6 +139,20 @@ def cmd_preview(args) -> int:
     return 0
 
 
+def cmd_interactive(args) -> int:
+    import jax
+
+    backend = _select_backend(args.backend)
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    cfg = _build_cfg(args)
+    scene, camera = _get_scene(args, cfg)
+    from .interactive import run_interactive
+
+    return run_interactive(scene, camera, cfg, seed=args.seed,
+                           batch=args.batch, ansi_cols=args.ansi_cols)
+
+
 def cmd_bench(args) -> int:
     import jax
 
@@ -289,6 +303,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="render into the terminal (truecolor half-blocks)")
     pv.add_argument("--ansi-cols", type=int, default=80)
     pv.set_defaults(fn=cmd_preview)
+
+    pi2 = sub.add_parser(
+        "interactive",
+        help="fly the camera in the terminal (progressive ANSI viewport)")
+    common(pi2)
+    pi2.add_argument("--batch", type=int, default=1,
+                     help="spp per refinement step")
+    pi2.add_argument("--ansi-cols", type=int, default=100)
+    pi2.set_defaults(fn=cmd_interactive)
 
     pb = sub.add_parser("bench", help="timed render, one JSON line")
     common(pb)

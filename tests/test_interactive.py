@@ -1,0 +1,94 @@
+"""Interactive viewer controller tests (no TTY: the key stream is scripted).
+
+Covers the L6 control-loop semantics: rig<->Camera round trip, reset-on-move
+(resetAccumulation analog, GpuPathTracer.cpp:85-95), idle refinement
+accumulating like the progressive path, and the quit/save protocol.
+"""
+
+import numpy as np
+import pytest
+
+from qt_raytracer_tpu.app.interactive import InteractiveViewer, rig_from_camera
+from qt_raytracer_tpu.core.config import RenderConfig
+from qt_raytracer_tpu.models import scenes
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = RenderConfig(width=64, height=36, spp=4, max_depth=3)
+    scene, camera = scenes.get_scene("three_sphere", cfg.aspect_ratio)
+    return cfg, scene, camera
+
+
+def test_rig_roundtrip(setup):
+    # Every stored Camera field must survive rig extraction + rebuild.
+    cfg, scene, camera = setup
+    rig = rig_from_camera(camera, float(cfg.aspect_ratio))
+    rebuilt = rig.camera()
+    for field in ("origin", "lower_left_corner", "horizontal", "vertical",
+                  "u", "v", "w", "lens_radius"):
+        np.testing.assert_allclose(np.asarray(getattr(rebuilt, field)),
+                                   np.asarray(getattr(camera, field)),
+                                   rtol=1e-5, atol=1e-6, err_msg=field)
+
+
+def test_move_resets_and_idle_accumulates(setup):
+    cfg, scene, camera = setup
+    v = InteractiveViewer(scene, camera, cfg, seed=0)
+    assert v.step() and v.renderer.frame_index == 1
+    assert v.step() and v.renderer.frame_index == 2
+
+    before = v.rig.lookfrom.copy()
+    assert v.handle_key("w") == "moved"
+    assert not np.allclose(v.rig.lookfrom, before)
+    assert v.step()                       # reset-on-move, then 1 fresh spp
+    assert v.renderer.frame_index == 1
+
+    # Idle refinement runs to max_spp, then step() reports converged.
+    while v.step():
+        pass
+    assert v.renderer.frame_index == cfg.spp
+    assert not v.step()
+
+
+def test_turn_zoom_home_quit(setup):
+    cfg, scene, camera = setup
+    v = InteractiveViewer(scene, camera, cfg)
+    yaw0, vfov0 = v.rig.yaw, v.rig.vfov
+    assert v.handle_key("j") == "moved" and v.rig.yaw < yaw0
+    assert v.handle_key("+") == "moved" and v.rig.vfov < vfov0
+    assert v.handle_key("]") == "moved" and v.rig.aperture > 0
+    assert v.handle_key("0") == "moved"
+    assert v.rig.yaw == pytest.approx(yaw0)
+    assert v.rig.vfov == pytest.approx(vfov0)
+    assert v.handle_key("?") == "noop"
+    assert v.handle_key("q") == "quit"
+    assert v.handle_key("\x1b") == "quit"
+
+
+def test_frame_renders_ansi_hud(setup):
+    cfg, scene, camera = setup
+    v = InteractiveViewer(scene, camera, cfg)
+    v.step()
+    out = v.frame(cols=40)
+    assert "\x1b[38;2;" in out            # truecolor viewport
+    assert "spp" in out and "Msamples/s" in out
+
+
+def test_move_matches_fresh_render(setup):
+    # After flying somewhere, the accumulation must equal a from-scratch
+    # progressive render with the same camera/seed (no stale state).
+    cfg, scene, camera = setup
+    v = InteractiveViewer(scene, camera, cfg, seed=3)
+    v.step()
+    for ch in "wwjli":
+        v.handle_key(ch)
+    v.step()
+    v.step()
+
+    from qt_raytracer_tpu.app.progressive import ProgressiveRenderer
+
+    fresh = ProgressiveRenderer(scene, v.rig.camera(), cfg, seed=3)
+    fresh.step(1)
+    fresh.step(1)
+    np.testing.assert_array_equal(v.renderer.image(), fresh.image())
