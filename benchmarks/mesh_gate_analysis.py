@@ -35,7 +35,7 @@ def main() -> None:
     from qt_raytracer_tpu.core.config import RenderConfig
     from qt_raytracer_tpu.core.render import pixel_grid
     from qt_raytracer_tpu.kernels.mesh_intersect import (
-        CLUSTER_ROWS, prep_mesh_clusters)
+        CLUSTER_ROWS, prep_mesh_clusters, sort_keys)
     from qt_raytracer_tpu.models import meshes
 
     cfg = RenderConfig(width=1920, height=1080, spp=1, max_depth=5)
@@ -80,29 +80,58 @@ def main() -> None:
         per_ray = m.sum(-1)                                 # boxes per ray
         per_ray_cap = (m & (enter <= t_best[:, None] * 1.0001 + 1e-4)).sum(-1)
 
-        # Sorted-wavefront simulation: reorder rays by (direction octant,
-        # origin cell morton-ish) and recount group unions.
+        # Sorted-wavefront simulation: reorder rays by candidate keys and
+        # recount group unions. "prod" is the shipping octant+Morton key;
+        # the c* keys sort by the ray's CROSSING SET itself (first/second
+        # crossed cluster id) — the quantity the union actually depends on.
         octant = ((d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2
                   + (d[:, 2] < 0)).astype(jnp.int32)
         cell = jnp.clip(((o + 6.0) / 12.0 * 8).astype(jnp.int32), 0, 7)
-        skey = (octant << 9) | (cell[:, 0] << 6) | (cell[:, 1] << 3) | cell[:, 2]
-        order = jnp.argsort(skey)
-        ms, es, ts = m[order], enter[order], t_best[order]
-        pop_s = grp(ms).any(1).sum(-1)
-        capf_s = grp(ms & (es <= ts[:, None] * 1.0001 + 1e-4)).any(1).sum(-1)
-        return (pop, capf, caps, pop_s, capf_s, per_ray, per_ray_cap,
+        legacy = (octant << 9) | (cell[:, 0] << 6) | (cell[:, 1] << 3) \
+            | cell[:, 2]
+        prod = sort_keys(o, d, None, mesh.bvh_min[0], mesh.bvh_max[0])
+        idx_k = jnp.arange(k, dtype=jnp.int32)[None, :]
+        c1 = jnp.min(jnp.where(m, idx_k, k), axis=1)
+        m2 = m & (idx_k > c1[:, None])
+        c2 = jnp.min(jnp.where(m2, idx_k, k), axis=1)
+        m3 = m2 & (idx_k > c2[:, None])
+        c3 = jnp.min(jnp.where(m3, idx_k, k), axis=1)
+        # cNsB: c1 quantized to superclusters of B (the cheap deployable
+        # key: one [N, k/B] supercluster slab pass instead of [N, k]),
+        # tie-broken by octant then the prod Morton key.
+        keys = {
+            "legacy": legacy,
+            "prod": prod,
+            "c1": c1,
+            "c1_oct": (c1 << 3) | octant,
+            "c1c2": c1 * (k + 1) + c2,
+            "c1c2c3": (c1 * (k + 1) + c2) * (k + 1) + c3,
+            "c1_prod": c1 * jnp.int32(1 << 18) + prod,
+            "c1s4": (c1 // 4) * jnp.int32(1 << 18) + prod,
+            "c1s8": (c1 // 8) * jnp.int32(1 << 18) + prod,
+        }
+        out = {}
+        for kn, skey in keys.items():
+            order = jnp.argsort(skey)
+            ms, es, ts = m[order], enter[order], t_best[order]
+            pop_s = grp(ms).any(1).sum(-1)
+            capf_s = grp(ms & (es <= ts[:, None] * 1.0001 + 1e-4)
+                         ).any(1).sum(-1)
+            out[kn] = (pop_s.mean(), capf_s.mean())
+        return (pop, capf, caps, out, per_ray, per_ray_cap,
                 jnp.mean((t_best < 1e30).astype(jnp.float32)))
 
     for name, o, d in [("primary", o_p, d_p), ("random", o_r, d_r)]:
-        pop, capf, caps, pop_s, capf_s, pr, prc, hr = analyze(o, d)
+        pop, capf, caps, sorted_out, pr, prc, hr = analyze(o, d)
         print(f"{name}: k={k} hit_rate={float(hr):.3f}\n"
               f"  visits/group popcount={float(pop.mean()):.1f} "
               f"cap_final={float(capf.mean()):.1f} "
               f"cap_groupwide={float(caps.mean()):.1f}\n"
-              f"  sorted: popcount={float(pop_s.mean()):.1f} "
-              f"cap_final={float(capf_s.mean()):.1f}\n"
               f"  per-ray boxes={float(pr.mean()):.1f} "
               f"capped={float(prc.mean()):.1f}")
+        for kn, (p, c) in sorted_out.items():
+            print(f"  sorted[{kn:8s}]: popcount={float(p):.1f} "
+                  f"cap_final={float(c):.1f}")
 
 
 if __name__ == "__main__":

@@ -27,9 +27,14 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--no-sort", action="store_true",
                     help="disable the wavefront coherence sort")
+    ap.add_argument("--kernel", default="pairs",
+                    choices=["pairs", "clustered"],
+                    help="mesh intersector (also sets QTRT_MESH_KERNEL "
+                         "for the --frame render path)")
     args = ap.parse_args()
     if args.rows:
         os.environ["QTRT_CLUSTER_ROWS"] = str(args.rows)
+    os.environ["QTRT_MESH_KERNEL"] = args.kernel
 
     import jax
     import jax.numpy as jnp
@@ -39,6 +44,13 @@ def main() -> None:
     from qt_raytracer_tpu.core.render import pixel_grid, render_linear
     from qt_raytracer_tpu.kernels.mesh_intersect import (
         CLUSTER_ROWS, mesh_search_pallas)
+    from qt_raytracer_tpu.kernels.mesh_pairs import mesh_search_pairs
+
+    if args.kernel == "pairs":
+        def search(mesh, o, d, t_min, sort=True):
+            return mesh_search_pairs(mesh, o, d, t_min)
+    else:
+        search = mesh_search_pallas
     from qt_raytracer_tpu.models import meshes
 
     dev = jax.devices()[0]
@@ -71,15 +83,13 @@ def main() -> None:
 
     for name, o, d in [("primary", o_p, d_p), ("random", o_r, d_r)]:
         t0 = time.time()
-        t, idx = mesh_search_pallas(mesh, o, d, 1e-3,
-                                        sort=not args.no_sort)
+        t, idx = search(mesh, o, d, 1e-3, sort=not args.no_sort)
         s = sync(t, idx)
         first = time.time() - t0
         times = []
         for _ in range(args.iters):
             t0 = time.time()
-            t, idx = mesh_search_pallas(mesh, o, d, 1e-3,
-                                        sort=not args.no_sort)
+            t, idx = search(mesh, o, d, 1e-3, sort=not args.no_sort)
             sync(t, idx)
             times.append(time.time() - t0)
         best = min(times)

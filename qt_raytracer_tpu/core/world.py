@@ -140,13 +140,23 @@ def intersect_world(world: World, origins, directions, t_min,
         return hs
 
     if backend in ("pallas", "pallas_interpret"):
-        from ..kernels.mesh_intersect import mesh_search_pallas
+        import os
 
         # Seed the kernel's per-lane cap with the sphere winner: clusters
         # beyond it prune from the first block (the oracle's mesh query is
         # sphere-capped the same way). Lanes whose true winner is a sphere
         # come back as mesh-miss, which the merge below reproduces exactly.
-        t_m, idx_m = mesh_search_pallas(
+        # Kernel choice (QTRT_MESH_KERNEL): "clustered" (default) is the
+        # union-gated sweep; "pairs" is the bitwise-identical pair-wavefront
+        # path — MEASURED SLOWER (911 vs 208 ms on the incoherent 414Ki
+        # batch): XLA scatters price its compaction off TPU
+        # (docs/PERFORMANCE.md round-2 mesh campaign). Kept as a tested
+        # variant pending a kernel-side compactor.
+        if os.environ.get("QTRT_MESH_KERNEL", "clustered") == "pairs":
+            from ..kernels.mesh_pairs import mesh_search_pairs as _search
+        else:
+            from ..kernels.mesh_intersect import mesh_search_pallas as _search
+        t_m, idx_m = _search(
             mesh, origins, directions, float(t_min),
             interpret=(backend == "pallas_interpret"), alive=alive,
             t_cap=jnp.where(hs.hit, jax.lax.stop_gradient(hs.t), BIG))

@@ -379,6 +379,88 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
             idx_out[grp:grp+1, :] = jnp.zeros((1, LANE), jnp.int32)
 
 
+def _c1_kernel(ox, oy, oz, dx, dy, dz, alive, tcap,
+               blox, bloy, bloz, bhix, bhiy, bhiz, c1_out,
+               *, t_min: float, num_clusters: int, k_rows: int):
+    """Per-ray FIRST-CROSSED-CLUSTER id (num_clusters when none): the
+    phase-1 slab test of _mesh_kernel reduced to an argmin — runs BEFORE
+    the main kernel to build the crossing-set sort key. Same cap-slack
+    gate as the emission/gating paths (sphere-capped, conservative)."""
+    tcol = lambda row: jnp.transpose(row, (1, 0))
+    for grp in range(GROUPS):
+        o = tuple(tcol(c[grp:grp+1, :]) for c in (ox, oy, oz))    # (128,1)
+        d = tuple(tcol(c[grp:grp+1, :]) for c in (dx, dy, dz))
+        alive_col = tcol(alive[grp:grp+1, :]) != 0
+        cap_col = jnp.minimum(tcol(tcap[grp:grp+1, :]) * 1.0001 + 1e-4,
+                              1.0e37)
+        inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-30,
+                                    jnp.where(c < 0, -1e-30, 1e-30), c)
+                    for c in d)
+        c1 = jnp.full((128, 1), num_clusters, jnp.int32)
+        for kr in range(k_rows):
+            blo = (blox[kr:kr+1, :], bloy[kr:kr+1, :], bloz[kr:kr+1, :])
+            bhi = (bhix[kr:kr+1, :], bhiy[kr:kr+1, :], bhiz[kr:kr+1, :])
+            enter = jnp.full((128, LANE), t_min, jnp.float32)
+            exit_ = jnp.full((128, LANE), BIG, jnp.float32)
+            for a in range(3):
+                t0 = (blo[a] - o[a]) * inv[a]
+                t1 = (bhi[a] - o[a]) * inv[a]
+                enter = jnp.maximum(enter, jnp.minimum(t0, t1))
+                exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
+            mask = (exit_ > enter) & (enter <= cap_col) & alive_col
+            cid = kr * LANE + jax.lax.broadcasted_iota(
+                jnp.int32, mask.shape, 1)
+            row_min = jnp.min(jnp.where(mask, cid, num_clusters),
+                              axis=1, keepdims=True)
+            c1 = jnp.minimum(c1, row_min)
+        c1_out[grp:grp+1, :] = jnp.transpose(c1, (1, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
+def first_crossed_cluster(mesh: TriangleMesh, origins, directions,
+                          t_min: float, alive=None, t_cap=None,
+                          interpret: bool = False):
+    """[N] i32: id of the first (lowest-id) cluster whose slacked,
+    sphere-capped slab gate passes; k when none (dead rays -> k)."""
+    n = origins.shape[0]
+    tile = GROUPS * LANE
+    n_pad = max(-(-n // tile) * tile, tile)
+    nb = n_pad // tile
+
+    def comp(x, i):
+        return jnp.pad(x[:, i], (0, n_pad - n)).reshape(nb * GROUPS, LANE)
+
+    rays = [comp(origins, i) for i in range(3)] + \
+           [comp(directions, i) for i in range(3)]
+    if alive is None:
+        rays.append(jnp.ones((nb * GROUPS, LANE), jnp.int32))
+    else:
+        rays.append(jnp.pad(alive.astype(jnp.int32), (0, n_pad - n))
+                    .reshape(nb * GROUPS, LANE))
+    if t_cap is None:
+        rays.append(jnp.full((nb * GROUPS, LANE), BIG, jnp.float32))
+    else:
+        rays.append(jnp.pad(t_cap, (0, n_pad - n), constant_values=BIG)
+                    .reshape(nb * GROUPS, LANE))
+
+    _, box_planes, _, _, k, _ = prep_mesh_clusters(mesh)
+    kr = box_planes[0].shape[0]
+    ray_spec = pl.BlockSpec((GROUPS, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    box_spec = pl.BlockSpec((kr, LANE), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    c1 = pl.pallas_call(
+        functools.partial(_c1_kernel, t_min=t_min, num_clusters=k,
+                          k_rows=kr),
+        grid=(nb,),
+        in_specs=[ray_spec] * 8 + [box_spec] * 6,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.int32),
+        interpret=interpret,
+    )(*rays, *box_planes)
+    return c1.reshape(-1)[:n]
+
+
 def _part1by2(x):
     """Spread the low 10 bits of x to every 3rd bit (Morton interleave)."""
     x = x & 0x3FF
@@ -414,10 +496,12 @@ def sort_keys(origins, directions, alive, lo, hi):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("t_min", "interpret", "sort", "mt"))
+                   static_argnames=("t_min", "interpret", "sort", "mt",
+                                    "sort_mode"))
 def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
                        t_min: float, interpret: bool = False, alive=None,
-                       sort: bool = True, mt: str = MT_MODE, t_cap=None):
+                       sort: bool = True, mt: str = MT_MODE, t_cap=None,
+                       sort_mode: str = "crossing"):
     """Closest-hit over the mesh: (t [N] f32 BIG=miss, tri_idx [N] i32),
     detached. tri_idx refers to the BVH-reordered triangle arrays.
 
@@ -441,6 +525,23 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
         key = sort_keys(origins, directions,
                         None if alive is None else jax.lax.stop_gradient(alive),
                         mesh.bvh_min[0], mesh.bvh_max[0])
+        if sort_mode == "crossing":
+            # CROSSING-SET major key: group rays by the first cluster their
+            # (sphere-capped) slab gate admits, Morton/octant as tiebreak —
+            # the union a group gates in depends on the crossing sets
+            # directly, and this key shrinks it far more than any
+            # origin/direction proxy (measured, incoherent 414Ki terrain
+            # batch: popcount union 41.4 -> 16.7 per 128-ray group;
+            # benchmarks/mesh_gate_analysis.py). Live keys stay < 196*2^18
+            # + 2^18, so the 2^30 dead marker still sorts dead rays last.
+            c1 = first_crossed_cluster(
+                mesh, origins, directions, t_min,
+                alive=None if alive is None
+                else jax.lax.stop_gradient(alive),
+                t_cap=None if t_cap is None
+                else jax.lax.stop_gradient(t_cap),
+                interpret=interpret)
+            key = c1 * jnp.int32(1 << 18) + key
         perm = jnp.argsort(key)
         origins = origins[perm]
         directions = directions[perm]

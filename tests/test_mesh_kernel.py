@@ -44,20 +44,43 @@ def test_kernel_matches_xla_traversal(setup, mt):
                                rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("mt", ["vpu", "mxu"])
-def test_sort_bitwise_on_live_lanes(setup, mt):
-    # The coherence sort may not change any LIVE lane's result bitwise
-    # (per-ray math is lane-independent); dead lanes are don't-care.
+@pytest.mark.parametrize("mt,mode", [("vpu", "crossing"), ("vpu", "morton"),
+                                     ("mxu", "crossing")])
+def test_sort_bitwise_on_live_lanes(setup, mt, mode):
+    # The coherence sort (either key) may not change any LIVE lane's result
+    # bitwise (per-ray math is lane-independent); dead lanes are don't-care.
     mesh, o, d, _ = setup
     alive = np.asarray(jax.random.bernoulli(jax.random.PRNGKey(7), 0.6,
                                             (o.shape[0],)))
     t0, i0 = mesh_search_pallas(mesh, o, d, 1e-3, interpret=True,
                                 alive=jnp.asarray(alive), sort=False, mt=mt)
     t1, i1 = mesh_search_pallas(mesh, o, d, 1e-3, interpret=True,
-                                alive=jnp.asarray(alive), sort=True, mt=mt)
+                                alive=jnp.asarray(alive), sort=True, mt=mt,
+                                sort_mode=mode)
     t0, t1, i0, i1 = map(np.asarray, (t0, t1, i0, i1))
     np.testing.assert_array_equal(t0[alive], t1[alive])
     np.testing.assert_array_equal(i0[alive], i1[alive])
+
+
+def test_first_crossed_cluster_matches_xla(setup):
+    # The c1 kernel's slab gate must match the XLA formulation on the same
+    # epsilon-padded cluster boxes (the sort key only needs consistency,
+    # but exactness here catches slab-math drift).
+    from qt_raytracer_tpu.kernels.mesh_intersect import (
+        first_crossed_cluster)
+    from qt_raytracer_tpu.kernels.mesh_pairs import cluster_bounds
+    mesh, o, d, _ = setup
+    c1 = np.asarray(first_crossed_cluster(mesh, o, d, 1e-3, interpret=True))
+    lo, hi, k = cluster_bounds(mesh)
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                          jnp.where(d < 0, -1e-30, 1e-30), d)
+    t0 = (np.asarray(lo)[None] - np.asarray(o)[:, None]) * np.asarray(inv)[:, None]
+    t1 = (np.asarray(hi)[None] - np.asarray(o)[:, None]) * np.asarray(inv)[:, None]
+    enter = np.maximum(np.minimum(t0, t1).max(-1), 1e-3)
+    exit_ = np.minimum(np.maximum(t0, t1), 3e38).min(-1)
+    m = exit_ > enter
+    ref = np.where(m.any(1), m.argmax(1), k)
+    np.testing.assert_array_equal(c1, ref)
 
 
 def test_all_dead_returns_miss(setup):
