@@ -264,12 +264,14 @@ def build_parser() -> argparse.ArgumentParser:
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    from ..models.scenes import MESH_SCENES, SCENES
+    scene_choices = sorted(SCENES) + sorted(MESH_SCENES)
+
     def common(sp):
-        # Defaults = the reference QML panel (Main.qml:10-13).
-        sp.add_argument("--scene", default="random",
-                        choices=["three_sphere", "four_sphere_gpu", "random",
-                                 "glossy_dof", "cornell", "terrain",
-                                 "icosphere"])
+        # Defaults = the reference QML panel (Main.qml:10-13). Every
+        # registered scene is renderable from the CLI, mirroring the
+        # reference exposing all backend scenes (Main.qml:18-19).
+        sp.add_argument("--scene", default="random", choices=scene_choices)
         sp.add_argument("--width", type=int, default=400)
         sp.add_argument("--height", type=int, default=225)
         sp.add_argument("--spp", type=int, default=24)
