@@ -108,6 +108,23 @@ def config2(scale):
                        nee=True, rng="hash", samples_per_batch=4)
     scene, cam = scenes.get_scene("cornell_mesh", 1.0)
     _bench_render("2_cornell_area_light_nee_mis", scene, cam, cfg)
+    if ORACLE_FULL:
+        # Full-size f64 validation of the NEE + mesh transport against the
+        # vectorized oracle (the north-star allclose row for config 2; also
+        # asserted in CI by tests/test_oracle_vec.py::test_oracle_full_*).
+        from qt_raytracer_tpu.core.render import render_linear
+        from qt_raytracer_tpu.testing.oracle_vec import render_oracle_vec
+        key = jax.random.PRNGKey(0)
+        fcfg = RenderConfig(width=side, height=side, spp=4,
+                            max_depth=cfg.max_depth, nee=True, rng="hash")
+        img = np.asarray(render_linear(scene, cam, fcfg, key), np.float64)
+        ref = render_oracle_vec(scene, cam, fcfg, key)
+        per = np.max(np.abs(img - ref), axis=-1) / (np.max(ref, -1) + 1e-3)
+        mism = float((per > 2e-3).mean())
+        print(json.dumps({
+            "config": "2_oracle_full", "width": fcfg.width,
+            "spp": fcfg.spp, "mismatch_fraction": round(mism, 5),
+            "passed": bool(mism < 0.04)}))
 
 
 def config3(scale):

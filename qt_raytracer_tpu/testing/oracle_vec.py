@@ -1,4 +1,4 @@
-"""Vectorized float64 oracle (sphere scenes).
+"""Vectorized float64 oracle (sphere scenes AND mesh worlds, NEE included).
 
 The scalar oracle (testing/oracle.py) is the semantic truth but runs Python
 loops per (pixel, sample, bounce, sphere) — full-size validation (VERDICT r1
@@ -7,19 +7,22 @@ with it. This module is the SAME f64 math vectorized over rays with numpy:
 
   - the sphere loop runs in the scalar oracle's ITERATION ORDER with the
     identical running-best semantics (near-root best_t cap, far-root
-    fallback, strict '<' tie-keep), vectorized over rays only;
+    fallback, strict '<' tie-keep), vectorized over rays only; the triangle
+    loop likewise mirrors oracle._hit_mesh_brute's order and caps;
   - elementwise formulas mirror the scalar helpers' operation order;
     measured agreement with the scalar oracle is ~1e-14 relative (f64
     reassociation noise from numpy's small-vector reductions — asserted at
     rtol 1e-12 in tests/test_oracle_vec.py), i.e. ~1e7x below the f32
     tolerances the oracle exists to check;
-  - supports the BSDF-only transport of BASELINE config 1 (all three
-    materials + emissive-hit termination + Russian roulette). NEE and
-    meshes stay scalar-oracle-only.
+  - supports the full transport of BASELINE configs 1-4: all three
+    materials + emissive-hit termination (MIS-weighted), NEE over the
+    unified sphere+triangle light table, mesh worlds with per-face
+    materials, and Russian roulette.
 
 This makes "forward image allclose to a float64 oracle at equal spp/seed"
 checkable at 256x256+ in seconds-to-minutes instead of hours
-(benchmarks/run_baselines.py --oracle-full).
+(benchmarks/run_baselines.py --oracle-full; tests/test_oracle_vec.py runs
+the Cornell-mesh NEE config against it every round).
 """
 
 from __future__ import annotations
@@ -29,9 +32,10 @@ import numpy as np
 from ..core import sampling
 from ..core.config import RenderConfig
 from ..core.scene import DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL
-from .oracle import camera_to_np, scene_to_np
+from .oracle import camera_to_np, mesh_to_np, scene_to_np
 
 TWO_PI = 6.283185307179586
+INV_PI = 1.0 / np.pi
 
 
 def _dot(a, b):
@@ -77,22 +81,184 @@ def _hit_scene_vec(sc, o, d, t_min):
     return best_t, best_i
 
 
-def _trace_vec(sc, o, d, bounce_u, max_depth, t_min, rr_start=0):
-    """Vectorized mirror of oracle._trace_one (BSDF-only transport)."""
+def _hit_mesh_vec(me, o, d, t_min, t_max):
+    """Vectorized-over-rays mirror of oracle._hit_mesh_brute (same triangle
+    order, same per-ray t_max cap and strict running-best)."""
     n = o.shape[0]
+    best_t = np.full(n, np.inf)
+    best_i = np.full(n, -1, np.int64)
+    v0s, e1s, e2s = me["v0"], me["e1"], me["e2"]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for fi in range(len(v0s)):
+            e1, e2 = e1s[fi], e2s[fi]
+            p = np.cross(d, e2[None, :])
+            det = _dot(p, e1[None, :])
+            ok = np.abs(det) > 1e-12
+            inv_det = 1.0 / np.where(ok, det, 1.0)
+            s = o - v0s[fi]
+            u = _dot(s, p) * inv_det
+            q = np.cross(s, e1[None, :])
+            v = _dot(q, d) * inv_det
+            t = _dot(q, e2[None, :]) * inv_det
+            upd = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                   & (t >= t_min) & (t <= t_max) & (t < best_t))
+            best_t = np.where(upd, t, best_t)
+            best_i = np.where(upd, fi, best_i)
+    return best_t, best_i
+
+
+def _onb_vec(w):
+    """Vectorized oracle._onb (Duff et al., same branch-free form)."""
+    sign = np.where(w[:, 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + w[:, 2])
+    b = w[:, 0] * w[:, 1] * a
+    t1 = np.stack([1.0 + sign * w[:, 0] * w[:, 0] * a, sign * b,
+                   -sign * w[:, 0]], axis=-1)
+    t2 = np.stack([b, sign + w[:, 1] * w[:, 1] * a, -w[:, 1]], axis=-1)
+    return t1, t2
+
+
+def _sphere_pdf_vec(center, radius, from_p):
+    """Vectorized oracle._sphere_pdf."""
+    to_l = center - from_p
+    dist2 = _dot(to_l, to_l)
+    outside = dist2 > radius * radius * 1.0001
+    sin2 = np.minimum(1.0, radius * radius / np.maximum(dist2, 1e-12))
+    cos_max = np.sqrt(np.maximum(0.0, 1.0 - sin2))
+    omc = sin2 / (1.0 + cos_max)
+    ok = outside & (omc > 1e-12)
+    pdf = np.where(ok, 1.0 / np.maximum(2.0 * np.pi * omc, 1e-30), 0.0)
+    return pdf, ok, cos_max, to_l, dist2
+
+
+def _nee_vec(sc, me, lt, p, normal, throughput, u, t_min, hit_albedo):
+    """Vectorized oracle._nee_once over the unified light table lt
+    (kind 0 = sphere, 1 = mesh face; world_lights order)."""
+    n = p.shape[0]
+    n_lights = lt["n"]
+    pick = np.minimum((u[:, 4] * n_lights).astype(np.int64), n_lights - 1)
+    kind = lt["kind"][pick]
+    li = lt["idx"][pick]
+    le = lt["emission"][pick]
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # Sphere lights: solid-angle cone sample.
+        pdf_s, ok_s, cos_max, to_l, dist2 = _sphere_pdf_vec(
+            lt["center"][pick], lt["radius"][pick], p)
+        w = to_l / np.sqrt(dist2)[:, None]
+        cos_a = 1.0 - u[:, 5] * (1.0 - cos_max)
+        sin_a = np.sqrt(np.maximum(0.0, 1.0 - cos_a * cos_a))
+        phi = TWO_PI * u[:, 6]
+        t1, t2 = _onb_vec(w)
+        ldir_s = (sin_a * np.cos(phi))[:, None] * t1 \
+            + (sin_a * np.sin(phi))[:, None] * t2 + cos_a[:, None] * w
+
+        # Triangle lights: area sample (folded barycentrics).
+        bu, bv = u[:, 5].copy(), u[:, 6].copy()
+        fold = bu + bv > 1.0
+        bu = np.where(fold, 1.0 - bu, bu)
+        bv = np.where(fold, 1.0 - bv, bv)
+        lv0, le1, le2 = lt["v0"][pick], lt["e1"][pick], lt["e2"][pick]
+        p_l = lv0 + bu[:, None] * le1 + bv[:, None] * le2
+        wv = p_l - p
+        d2 = _dot(wv, wv)
+        d2_ok = d2 > 1e-12
+        ldir_t = wv / np.where(d2_ok, np.sqrt(d2), 1.0)[:, None]
+        cr = np.cross(le1, le2)
+        two_area = np.sqrt(_dot(cr, cr))
+        area = 0.5 * two_area
+        area_ok = area > 1e-20
+        n_l = cr / np.where(area_ok, two_area, 1.0)[:, None]
+        cos_l = np.abs(_dot(n_l, ldir_t))
+        cos_ok = cos_l > 1e-7
+        pdf_t = d2 / np.maximum(cos_l * area, 1e-30)
+        ok_t = d2_ok & area_ok & cos_ok
+
+    is_tri = kind == 1
+    ldir = np.where(is_tri[:, None], ldir_t, ldir_s)
+    pdf_j = np.where(is_tri, pdf_t, pdf_s)
+    ok = np.where(is_tri, ok_t, ok_s)
+    cos_surf = _dot(normal, ldir)
+    cand = ok & (cos_surf > 0.0)
+
+    # Shadow: the closest world hit must be exactly the chosen light.
+    t_s, si = _hit_scene_vec(sc, p, ldir, t_min)
+    cap = np.where(si >= 0, t_s, np.inf)
+    if me is not None:
+        t_m, fi = _hit_mesh_vec(me, p, ldir, t_min, cap)
+        mesh_w = (fi >= 0) & (t_m < cap)
+    else:
+        fi = np.full(n, -1, np.int64)
+        mesh_w = np.zeros(n, bool)
+    win_kind = np.where(mesh_w, 1, 0)
+    win_idx = np.where(mesh_w, fi, si)
+    has_win = mesh_w | (si >= 0)
+    lit = cand & has_win & (win_kind == kind) & (win_idx == li)
+
+    pdf_nee = pdf_j / n_lights
+    denom = pdf_nee + cos_surf * INV_PI
+    factor = cos_surf * INV_PI / np.maximum(denom, 1e-30)
+    contrib = throughput * hit_albedo * factor[:, None] * le
+    return np.where(lit[:, None], contrib, 0.0)
+
+
+def _emit_weight_vec(sc, me, p, o, si, fi, mesh_won, n_lights, prev_pdf):
+    """Vectorized oracle._emit_weight_once."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sii = np.maximum(si, 0)
+        pdf_s, _, _, _, _ = _sphere_pdf_vec(sc["center"][sii],
+                                            sc["radius"][sii], o)
+        if me is not None:
+            fii = np.maximum(fi, 0)
+            wv = p - o
+            d2 = _dot(wv, wv)
+            e1, e2 = me["e1"][fii], me["e2"][fii]
+            cr = np.cross(e1, e2)
+            two_area = np.sqrt(_dot(cr, cr))
+            area = 0.5 * two_area
+            geom_ok = (d2 > 1e-12) & (area > 1e-20)
+            ldir = wv / np.where(geom_ok, np.sqrt(d2), 1.0)[:, None]
+            nl = cr / np.where(geom_ok, two_area, 1.0)[:, None]
+            cos_l = np.abs(_dot(nl, ldir))
+            pdf_t = np.where(geom_ok & (cos_l > 1e-7),
+                             d2 / np.maximum(cos_l * area, 1e-30), 0.0)
+            pdf_j = np.where(mesh_won, pdf_t, pdf_s)
+        else:
+            pdf_j = pdf_s
+    pdf_nee = pdf_j / n_lights
+    use = prev_pdf > 0.0
+    return np.where(use, prev_pdf / np.where(use, prev_pdf + pdf_nee, 1.0),
+                    1.0)
+
+
+def _trace_vec(sc, o, d, bounce_u, max_depth, t_min, rr_start=0,
+               me=None, lt=None, nee=False):
+    """Vectorized mirror of oracle._trace_one (full transport: BSDF, NEE
+    with MIS, mesh worlds)."""
+    n = o.shape[0]
+    nee_active = bool(nee) and lt is not None and lt["n"] > 0
     throughput = np.ones((n, 3))
     radiance = np.zeros((n, 3))
     alive = np.ones(n, bool)
+    prev_pdf = np.full(n, -1.0)
     for b in range(max_depth):
         t, si = _hit_scene_vec(sc, o, d, t_min)
-        miss = alive & (si < 0)
+        if me is not None:
+            cap = np.where(si >= 0, t, np.inf)
+            t_m, fi = _hit_mesh_vec(me, o, d, t_min, cap)
+            mesh_won = (fi >= 0) & (t_m < cap)
+            t = np.where(mesh_won, t_m, t)
+        else:
+            fi = np.full(n, -1, np.int64)
+            mesh_won = np.zeros(n, bool)
+        miss = alive & (si < 0) & ~mesh_won
         sky_u = _unit(d)
         sky_t = 0.5 * (sky_u[:, 1] + 1.0)
         sky = ((1.0 - sky_t)[:, None] * np.array([1.0, 1.0, 1.0])
                + sky_t[:, None] * np.array([0.5, 0.7, 1.0]))
         radiance = np.where(miss[:, None], radiance + throughput * sky,
                             radiance)
-        alive = alive & (si >= 0)
+        alive = alive & ((si >= 0) | mesh_won)
         sii = np.maximum(si, 0)
         with np.errstate(invalid="ignore"):
             p = o + t[:, None] * d
@@ -108,6 +274,19 @@ def _trace_vec(sc, o, d, bounce_u, max_depth, t_min, rr_start=0):
         fuzz = sc["fuzz"][sii]
         ior_v = sc["ior"][sii]
         emission = sc["emission"][sii]
+        if me is not None:
+            fii = np.maximum(fi, 0)
+            gn = me["geom_normal"][fii]
+            ff_m = _dot(d, gn) < 0.0
+            nrm_m = np.where(ff_m[:, None], gn, -gn)
+            mw = mesh_won
+            front_face = np.where(mw, ff_m, front_face)
+            normal = np.where(mw[:, None], nrm_m, normal)
+            mat = np.where(mw, me["mat_type"][fii], mat)
+            albedo = np.where(mw[:, None], me["albedo"][fii], albedo)
+            fuzz = np.where(mw, me["fuzz"][fii], fuzz)
+            ior_v = np.where(mw, me["ior"][fii], ior_v)
+            emission = np.where(mw[:, None], me["emission"][fii], emission)
         u = bounce_u[:, b, :]
 
         # Lambertian (oracle._unit_vector_sample + degenerate guard).
@@ -144,8 +323,20 @@ def _trace_vec(sc, o, d, bounce_u, max_depth, t_min, rr_start=0):
         is_emit = mat == EMISSIVE
 
         emit_now = alive & is_emit
+        if nee_active:
+            emit_w = _emit_weight_vec(sc, me, p, o, si, fi, mesh_won,
+                                      lt["n"], prev_pdf)
+        else:
+            emit_w = np.ones(n)
         radiance = np.where(emit_now[:, None],
-                            radiance + throughput * emission, radiance)
+                            radiance + throughput * emission
+                            * emit_w[:, None], radiance)
+
+        if nee_active:
+            nee_c = _nee_vec(sc, me, lt, p, normal, throughput, u, t_min,
+                             albedo)
+            radiance = np.where((alive & is_lam)[:, None],
+                                radiance + nee_c, radiance)
 
         nd = np.where(is_lam[:, None], nd_lam,
                       np.where(is_met[:, None], nd_met, nd_die))
@@ -155,6 +346,13 @@ def _trace_vec(sc, o, d, bounce_u, max_depth, t_min, rr_start=0):
                               throughput)
         o = np.where(continues[:, None], p, o)
         d = np.where(continues[:, None], nd, d)
+        if nee_active:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ndu = nd / np.sqrt(np.maximum(_dot(nd, nd), 1e-300))[:, None]
+            pdf_next = np.where(is_lam,
+                                np.maximum(_dot(normal, ndu), 0.0) * INV_PI,
+                                -1.0)
+            prev_pdf = np.where(continues, pdf_next, prev_pdf)
         alive = continues
         if rr_start > 0 and b >= rr_start:
             p_cont = np.clip(np.max(throughput, axis=-1), 0.05, 1.0)
@@ -169,14 +367,49 @@ def _trace_vec(sc, o, d, bounce_u, max_depth, t_min, rr_start=0):
     return radiance
 
 
+def _light_table_np(scene, me):
+    """Unified f64 light table in world_lights order (spheres first).
+    Sphere rows carry center/radius; triangle rows carry v0/e1/e2."""
+    kinds, idxs = [], []
+    for i in np.asarray(scene.light_idx):
+        kinds.append(0)
+        idxs.append(int(i))
+    if me is not None:
+        for f in me["light_tri"]:
+            kinds.append(1)
+            idxs.append(int(f))
+    L = len(kinds)
+    lt = {"n": L, "kind": np.array(kinds, np.int64),
+          "idx": np.array(idxs, np.int64),
+          "center": np.zeros((max(L, 1), 3)),
+          "radius": np.ones(max(L, 1)),
+          "v0": np.zeros((max(L, 1), 3)), "e1": np.zeros((max(L, 1), 3)),
+          "e2": np.zeros((max(L, 1), 3)),
+          "emission": np.zeros((max(L, 1), 3))}
+    sc = scene_to_np(scene)
+    for row, (k, i) in enumerate(zip(kinds, idxs)):
+        if k == 0:
+            lt["center"][row] = sc["center"][i]
+            lt["radius"][row] = sc["radius"][i]
+            lt["emission"][row] = sc["emission"][i]
+        else:
+            lt["v0"][row] = me["v0"][i]
+            lt["e1"][row] = me["e1"][i]
+            lt["e2"][row] = me["e2"][i]
+            lt["emission"][row] = me["emission"][i]
+    return lt
+
+
 def render_oracle_vec(scene, camera, cfg: RenderConfig, key,
                       ray_chunk: int = 32768) -> np.ndarray:
     """Sum of spp f64 radiance samples, [H, W, 3] — vectorized oracle.
-    Sphere scenes, BSDF transport only (asserts nee off, no mesh)."""
-    assert not cfg.nee, "vectorized oracle: NEE not supported (use scalar)"
-    assert not hasattr(scene, "mesh") or getattr(scene, "mesh", None) is None
+    Accepts SphereScene or World (mesh + NEE supported)."""
+    me = None
     if hasattr(scene, "spheres"):
+        if scene.mesh is not None:
+            me = mesh_to_np(scene.mesh)
         scene = scene.spheres
+    lt = _light_table_np(scene, me) if cfg.nee else None
     sc = scene_to_np(scene)
     cam = camera_to_np(camera)
     import jax.numpy as jnp
@@ -215,5 +448,6 @@ def render_oracle_vec(scene, camera, cfg: RenderConfig, key,
             hi_ = min(lo + ray_chunk, n)
             out[lo:hi_] += _trace_vec(sc, o[lo:hi_], d[lo:hi_],
                                       bounce[lo:hi_], cfg.max_depth,
-                                      cfg.t_min, rr_start=cfg.rr_start)
+                                      cfg.t_min, rr_start=cfg.rr_start,
+                                      me=me, lt=lt, nee=cfg.nee)
     return out.reshape(h, w, 3)
