@@ -204,6 +204,178 @@ def _emit_weight_flat(h, ox, oy, oz, prev_pdf, n_lights):
     return jnp.where(use, prev_pdf / denom, 1.0)
 
 
+def _world_hit_flat(world, ox, oy, oz, dx, dy, dz, alive, t_min, interpret):
+    """Merged sphere+mesh closest hit on flat components (forward-only).
+
+    Mirrors core/world.intersect_world's merge semantics (sphere hit from
+    the fused kernel, mesh hit from the clustered kernel sphere-capped,
+    strict '<' merge, unified prim id space) with every quantity detached.
+    The mesh kernel consumes the flat components DIRECTLY (zero [N,3]
+    materialization — kernels/mesh_intersect._comps).
+    """
+    from ..kernels.mesh_intersect import mesh_search_pallas
+    from .world import face_param_table
+
+    spheres = world.spheres
+    ns = spheres.num_spheres
+    h = fused_hit_pallas(spheres, ox, oy, oz, dx, dy, dz, alive,
+                         float(t_min), interpret=interpret)
+    t_m, idx_m = mesh_search_pallas(
+        world.mesh, (ox, oy, oz), (dx, dy, dz), float(t_min),
+        interpret=interpret, alive=alive, t_cap=h["t"])
+    mesh_hit = t_m < BIG
+    closer = mesh_hit & ((h["t"] >= BIG) | (t_m < h["t"]))
+
+    t = jnp.where(closer, t_m, h["t"])
+    t_safe = jnp.where(t < BIG, t, 1.0)
+    fp = face_param_table(world.mesh)[idx_m]               # [N,16] gather
+    gnx, gny, gnz = fp[:, 0], fp[:, 1], fp[:, 2]
+    ff_m = dx * gnx + dy * gny + dz * gnz < 0.0
+    sgn_m = jnp.where(ff_m, 1.0, -1.0)
+
+    w = lambda m_val, s_val: jnp.where(closer, m_val, s_val)
+    out = {
+        "t": t,
+        "prim": jnp.where(closer, ns + idx_m,
+                          jnp.where(h["t"] < BIG, h["idx"], 0)),
+        "mat": w(fp[:, 9].astype(jnp.int32), h["mat"]),
+        "ff": w(ff_m.astype(jnp.int32), h["ff"]),
+        "px": w(ox + t_safe * dx, h["px"]),
+        "py": w(oy + t_safe * dy, h["py"]),
+        "pz": w(oz + t_safe * dz, h["pz"]),
+        "nx": w(sgn_m * gnx, h["nx"]),
+        "ny": w(sgn_m * gny, h["ny"]),
+        "nz": w(sgn_m * gnz, h["nz"]),
+        "ax": w(fp[:, 4], h["ax"]), "ay": w(fp[:, 5], h["ay"]),
+        "az": w(fp[:, 6], h["az"]),
+        "fuzz": w(fp[:, 7], h["fuzz"]), "ior": w(fp[:, 8], h["ior"]),
+        "ex": w(fp[:, 10], h["ex"]), "ey": w(fp[:, 11], h["ey"]),
+        "ez": w(fp[:, 12], h["ez"]),
+        "rw": w(jnp.zeros_like(t), h["rw"]),
+        "area": jnp.where(closer, fp[:, 3], jnp.zeros_like(t)),
+    }
+    return out
+
+
+def _tri_pdf_flat(wx, wy, wz, d2, nx, ny, nz, area):
+    """Triangle-light area->solid-angle pdf on flat comps (mirrors
+    integrator._nee_mis / _emitter_mis_weight's triangle side)."""
+    cos_l = jnp.abs(nx * wx + ny * wy + nz * wz)
+    ok = (d2 > 1e-12) & (cos_l > 1e-7) & (area > 1e-20)
+    pdf = jnp.where(ok, d2 / jnp.maximum(cos_l * area, 1e-30), 0.0)
+    return pdf, ok
+
+
+def _nee_flat_world(world, lights, px, py, pz, nx, ny, nz, ax, ay, az,
+                    tx, ty, tz, diffuse, uni, t_min, interpret):
+    """integrator._nee_mis on flat components: one-sample MIS over the
+    unified sphere+triangle light table, shadow = fused sphere kernel +
+    sphere-capped mesh kernel (same merge as _world_hit_flat)."""
+    from ..kernels.mesh_intersect import mesh_search_pallas
+
+    u4, u5, u6 = uni[:, 4], uni[:, 5], uni[:, 6]
+    n_lights = lights.n_total
+    ns_l = lights.n_sphere
+    pick = jnp.clip((u4 * n_lights).astype(jnp.int32), 0, n_lights - 1)
+    row = lights.table[pick]                               # [N,16]
+    exp_prim = lights.expected_prim[pick]
+    is_tri = pick >= ns_l
+
+    # Sphere light: cone sample (mirrors _nee_flat).
+    lcx, lcy, lcz, lr = row[:, 0], row[:, 1], row[:, 2], row[:, 3]
+    pdf_s, ok_s, cos_max, (tox, toy, toz) = _sphere_pdf_flat(
+        lcx, lcy, lcz, lr, px, py, pz)
+    _, winv = _safe_rsqrt_len2(tox, toy, toz)
+    wxs, wys, wzs = tox * winv, toy * winv, toz * winv
+    cos_s = 1.0 - u5 * (1.0 - cos_max)
+    sin_s = _safe_sqrt(1.0 - cos_s * cos_s)
+    phi = TWO_PI * u6
+    sign = jnp.where(wzs >= 0.0, 1.0, -1.0)
+    a_ = -1.0 / (sign + wzs)
+    b_ = wxs * wys * a_
+    t1x, t1y, t1z = 1.0 + sign * wxs * wxs * a_, sign * b_, -sign * wxs
+    t2x, t2y, t2z = b_, sign + wys * wys * a_, -wys
+    sc, ss = sin_s * jnp.cos(phi), sin_s * jnp.sin(phi)
+    dsx = sc * t1x + ss * t2x + cos_s * wxs
+    dsy = sc * t1y + ss * t2y + cos_s * wys
+    dsz = sc * t1z + ss * t2z + cos_s * wzs
+
+    # Triangle light: uniform-area sample (mirrors _nee_mis).
+    v0x_, v0y_, v0z_ = row[:, 0], row[:, 1], row[:, 2]
+    e1x_, e1y_, e1z_ = row[:, 3], row[:, 4], row[:, 5]
+    e2x_, e2y_, e2z_ = row[:, 6], row[:, 7], row[:, 8]
+    flip = u5 + u6 > 1.0
+    bu = jnp.where(flip, 1.0 - u5, u5)
+    bv = jnp.where(flip, 1.0 - u6, u6)
+    plx = v0x_ + bu * e1x_ + bv * e2x_
+    ply = v0y_ + bu * e1y_ + bv * e2y_
+    plz = v0z_ + bu * e1z_ + bv * e2z_
+    wvx, wvy, wvz = plx - px, ply - py, plz - pz
+    d2 = wvx * wvx + wvy * wvy + wvz * wvz
+    _, winv_t = _safe_rsqrt_len2(wvx, wvy, wvz)
+    dtx, dty, dtz = wvx * winv_t, wvy * winv_t, wvz * winv_t
+    crx = e1y_ * e2z_ - e1z_ * e2y_
+    cry = e1z_ * e2x_ - e1x_ * e2z_
+    crz = e1x_ * e2y_ - e1y_ * e2x_
+    two_area = _safe_sqrt(crx * crx + cry * cry + crz * crz)
+    area = 0.5 * two_area
+    inv2a = 1.0 / jnp.maximum(two_area, 1e-20)
+    pdf_t, ok_t = _tri_pdf_flat(dtx, dty, dtz, d2, crx * inv2a, cry * inv2a,
+                                crz * inv2a, area)
+
+    ldx = jnp.where(is_tri, dtx, dsx)
+    ldy = jnp.where(is_tri, dty, dsy)
+    ldz = jnp.where(is_tri, dtz, dsz)
+    pdf_j = jnp.where(is_tri, pdf_t, pdf_s)
+    valid = jnp.where(is_tri, ok_t, ok_s)
+    cos_surf = nx * ldx + ny * ldy + nz * ldz
+    cand = diffuse & valid & (cos_surf > 0.0)
+
+    # Shadow: closest world hit must be exactly the chosen light.
+    sh = fused_hit_pallas(world.spheres, px, py, pz, ldx, ldy, ldz, cand,
+                          float(t_min), shadow_only=True, interpret=interpret)
+    t_m, idx_m = mesh_search_pallas(
+        world.mesh, (px, py, pz), (ldx, ldy, ldz), float(t_min),
+        interpret=interpret, alive=cand, t_cap=sh["t"])
+    mesh_w = (t_m < BIG) & ((sh["t"] >= BIG) | (t_m < sh["t"]))
+    has_win = mesh_w | (sh["t"] < BIG)
+    win_prim = jnp.where(mesh_w, world.spheres.num_spheres + idx_m,
+                         sh["idx"])
+    lit = cand & has_win & (win_prim == exp_prim)
+
+    lex, ley, lez = row[:, 9], row[:, 10], row[:, 11]
+    pdf_nee = pdf_j / n_lights
+    denom = pdf_nee + cos_surf * INV_PI
+    factor = cos_surf * INV_PI / jnp.maximum(denom, 1e-30)
+    cx = tx * ax * factor * lex
+    cy = ty * ay * factor * ley
+    cz = tz * az * factor * lez
+    zero = jnp.zeros_like(cx)
+    return (jnp.where(lit, cx, zero), jnp.where(lit, cy, zero),
+            jnp.where(lit, cz, zero))
+
+
+def _emit_weight_flat_world(h, ox, oy, oz, num_spheres, n_lights, prev_pdf):
+    """integrator._emitter_mis_weight on flat components (both families)."""
+    is_sphere = h["prim"] < num_spheres
+    ff = h["ff"] > 0
+    sgn = jnp.where(ff, 1.0, -1.0)
+    lcx = h["px"] - h["rw"] * sgn * h["nx"]
+    lcy = h["py"] - h["rw"] * sgn * h["ny"]
+    lcz = h["pz"] - h["rw"] * sgn * h["nz"]
+    pdf_sph, _, _, _ = _sphere_pdf_flat(lcx, lcy, lcz, h["rw"], ox, oy, oz)
+
+    wvx, wvy, wvz = h["px"] - ox, h["py"] - oy, h["pz"] - oz
+    d2 = wvx * wvx + wvy * wvy + wvz * wvz
+    _, winv = _safe_rsqrt_len2(wvx, wvy, wvz)
+    pdf_tri, _ = _tri_pdf_flat(wvx * winv, wvy * winv, wvz * winv, d2,
+                               h["nx"], h["ny"], h["nz"], h["area"])
+    pdf_nee = jnp.where(is_sphere, pdf_sph, pdf_tri) / n_lights
+    use = prev_pdf > 0.0
+    denom = jnp.where(use, prev_pdf + pdf_nee, 1.0)
+    return jnp.where(use, prev_pdf / denom, 1.0)
+
+
 def trace_flat(
     scene: SphereScene,
     origins: jnp.ndarray,
@@ -275,6 +447,161 @@ def _trace_flat_bwd(max_depth, t_min, nee, rr_start, interpret, compact,
 
 
 _trace_flat_guarded.defvjp(_trace_flat_fwd, _trace_flat_bwd)
+
+
+def trace_flat_world(
+    world,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    sample_keys: jnp.ndarray,
+    max_depth: int,
+    t_min: float = 1.0e-3,
+    nee: bool = False,
+    rr_start: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flat-SoA fast forward path for MESH WORLDS (spheres + triangles).
+
+    Same estimator/uniform slots as integrator.trace on a World — the f64
+    oracle applies — with flat [N] carries and both Pallas kernels fed
+    directly from flat components (no [N,3] materialization per bounce:
+    the relayout tax the flat integrator exists to kill, roadmap 7).
+    Forward-only: differentiating raises (mesh gradient renders use the
+    [N,3] path with XLA re-derives)."""
+    return _trace_flat_world_guarded(world, origins, directions, sample_keys,
+                                     max_depth, float(t_min), bool(nee),
+                                     int(rr_start), bool(interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _trace_flat_world_guarded(world, origins, directions, sample_keys,
+                              max_depth, t_min, nee, rr_start, interpret):
+    return _trace_flat_world_impl(world, origins, directions, sample_keys,
+                                  max_depth, t_min, nee, rr_start, interpret)
+
+
+def _trace_flat_world_fwd(world, origins, directions, sample_keys,
+                          max_depth, t_min, nee, rr_start, interpret):
+    return _trace_flat_world_impl(world, origins, directions, sample_keys,
+                                  max_depth, t_min, nee, rr_start,
+                                  interpret), None
+
+
+def _trace_flat_world_bwd(max_depth, t_min, nee, rr_start, interpret,
+                          res, g):
+    raise ValueError(
+        "trace_flat_world is forward-only (both kernels detach every hit "
+        "quantity). Use intersector='pallas' or 'xla' for gradient renders "
+        "of mesh worlds (diff/inverse.make_train_step does this "
+        "automatically).")
+
+
+_trace_flat_world_guarded.defvjp(_trace_flat_world_fwd,
+                                 _trace_flat_world_bwd)
+
+
+def _trace_flat_world_impl(world, origins, directions, sample_keys,
+                           max_depth, t_min, nee, rr_start, interpret):
+    from .world import world_lights
+
+    ns = world.spheres.num_spheres
+    lights = world_lights(world)
+    do_nee = bool(nee) and lights.n_total > 0
+
+    n = origins.shape[0]
+    n_pad = (-n) % TILE
+
+    def padf(x, v=0.0):
+        return jnp.pad(x, (0, n_pad), constant_values=v) if n_pad else x
+
+    ox, oy, oz = (padf(origins[:, i]) for i in range(3))
+    dx, dy, dz = padf(directions[:, 0]), padf(directions[:, 1]), \
+        padf(directions[:, 2], 1.0)
+    if sample_keys.ndim == 1:
+        keys = padf(sample_keys)
+    else:
+        keys = jnp.pad(sample_keys, ((0, n_pad), (0, 0))) if n_pad \
+            else sample_keys
+
+    zero = ox * 0.0
+    one = zero + 1.0
+    alive0 = padf(origins[:, 0] * 0.0 + 1.0) > 0.5
+    state = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
+             alive0, zero - 1.0, keys)
+
+    def bounce(state, depth_idx):
+        (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
+         alive, prev_pdf, keys) = state
+        h = _world_hit_flat(world, ox, oy, oz, dx, dy, dz, alive, t_min,
+                            interpret)
+        hit = h["t"] < BIG
+        ff = h["ff"] > 0
+
+        uni = sampling.stream_uniforms(
+            keys, sampling.STREAM_BOUNCE0 + depth_idx,
+            sampling.UNIFORMS_PER_BOUNCE)
+        (sdx, sdy, sdz, atx, aty, atz, ok, emx, emy, emz,
+         is_lam) = _scatter_flat(
+            h["mat"], h["ax"], h["ay"], h["az"], h["fuzz"], h["ior"],
+            h["ex"], h["ey"], h["ez"], dx, dy, dz,
+            h["nx"], h["ny"], h["nz"], ff, uni)
+
+        miss = alive & ~hit
+        emit_hit = alive & hit
+        if do_nee:
+            emit_w = _emit_weight_flat_world(h, ox, oy, oz, ns,
+                                             lights.n_total, prev_pdf)
+        else:
+            emit_w = 1.0
+        skx, sky_, skz = _sky(dx, dy, dz)
+        zero_ = rx * 0.0
+        rx = rx + jnp.where(miss, tx * skx, zero_)
+        ry = ry + jnp.where(miss, ty * sky_, zero_)
+        rz = rz + jnp.where(miss, tz * skz, zero_)
+        rx = rx + jnp.where(emit_hit, tx * emx * emit_w, zero_)
+        ry = ry + jnp.where(emit_hit, ty * emy * emit_w, zero_)
+        rz = rz + jnp.where(emit_hit, tz * emz * emit_w, zero_)
+
+        diffuse = alive & hit & is_lam
+        if do_nee:
+            nx_, ny_, nz_ = _nee_flat_world(
+                world, lights, h["px"], h["py"], h["pz"],
+                h["nx"], h["ny"], h["nz"], h["ax"], h["ay"], h["az"],
+                tx, ty, tz, diffuse, uni, t_min, interpret)
+            rx, ry, rz = rx + nx_, ry + ny_, rz + nz_
+
+        continues = alive & hit & ok
+        tx = jnp.where(continues, tx * atx, tx)
+        ty = jnp.where(continues, ty * aty, ty)
+        tz = jnp.where(continues, tz * atz, tz)
+        if rr_start > 0:
+            p_cont = jnp.clip(jnp.maximum(jnp.maximum(tx, ty), tz),
+                              0.05, 1.0)
+            do_rr = continues & (depth_idx >= rr_start)
+            survive = uni[:, 7] < p_cont
+            adj = do_rr & survive
+            tx = jnp.where(adj, tx / p_cont, tx)
+            ty = jnp.where(adj, ty / p_cont, ty)
+            tz = jnp.where(adj, tz / p_cont, tz)
+            continues = continues & (~do_rr | survive)
+        ox = jnp.where(continues, h["px"], ox)
+        oy = jnp.where(continues, h["py"], oy)
+        oz = jnp.where(continues, h["pz"], oz)
+        dx = jnp.where(continues, sdx, dx)
+        dy = jnp.where(continues, sdy, dy)
+        dz = jnp.where(continues, sdz, dz)
+        if do_nee:
+            _, sinv = _safe_rsqrt_len2(sdx, sdy, sdz)
+            cos_next = (h["nx"] * sdx + h["ny"] * sdy + h["nz"] * sdz) * sinv
+            pdf_next = jnp.where(diffuse & continues,
+                                 jnp.maximum(cos_next, 0.0) * INV_PI, -1.0)
+            prev_pdf = jnp.where(continues, pdf_next, prev_pdf)
+        return (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
+                continues, prev_pdf, keys), None
+
+    state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth), unroll=1)
+    rx, ry, rz = state[9], state[10], state[11]
+    return jnp.stack([rx, ry, rz], axis=-1)[:n]
 
 
 def _rederive_hits_flat(scene, ox, oy, oz, dx, dy, dz, t_sel, idx, t_min):

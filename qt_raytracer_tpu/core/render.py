@@ -79,6 +79,19 @@ def _trace_dispatch(scene, origins, directions, samp_keys, cfg: RenderConfig):
                               rr_start=cfg.rr_start,
                               interpret=backend.endswith("interpret"),
                               diff=backend.startswith("fused_diff"))
+        from .world import World
+
+        if (isinstance(scene, World) and scene.mesh is not None
+                and not backend.startswith("fused_diff")):
+            # Mesh-world fast forward path (roadmap 7): flat carries feed
+            # BOTH kernels directly; gradient renders fall through to the
+            # [N,3] integrator below.
+            from .integrator_flat import trace_flat_world
+
+            return trace_flat_world(scene, origins, directions, samp_keys,
+                                    cfg.max_depth, cfg.t_min, nee=cfg.nee,
+                                    rr_start=cfg.rr_start,
+                                    interpret=backend.endswith("interpret"))
         backend = ("pallas_interpret" if backend.endswith("interpret")
                    else "pallas")
     return trace(scene, origins, directions, samp_keys, cfg.max_depth,

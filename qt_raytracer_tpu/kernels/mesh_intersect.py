@@ -47,6 +47,19 @@ GROUPS = 8                 # 128-ray groups per grid step (1024 rays)
 # 128-tri rows per cluster (G = rows*128 triangles). Tunable for experiments
 # via QTRT_CLUSTER_ROWS; 4 measured best at first, see PERFORMANCE.md.
 CLUSTER_ROWS = int(os.environ.get("QTRT_CLUSTER_ROWS", "4"))
+# Visit tiling: "subtile" (default) runs Möller-Trumbore on (8 rays, 128
+# tris) single-vreg tiles — 16 sublane slices per 128-ray group. The
+# (128,128) formulation ("full") keeps ~12 live (128,128) intermediates
+# (16 vregs each) through the MT chain, far beyond the vreg file, so Mosaic
+# spills to VMEM every visit; the (8,128) slices keep every intermediate in
+# ONE vreg and make the ray-side broadcast a single-op lane broadcast.
+# Identical per-(ray,tri) expression tree and the same 128-lane min/argmin
+# -> bitwise-identical outputs (tested: tests/test_mesh_kernel.py).
+VISIT_MODE = os.environ.get("QTRT_MESH_VISIT", "full")
+# Sub-tile height (rays per MT slice) for visit="subtile". MEASURED (v5e,
+# terrain, 414Ki crossing-sorted random rays): 8 -> 360 ms (3x WORSE than
+# full: per-op issue overhead dominates at 1 vreg/op), so larger slices.
+SUBTILE_ROWS = int(os.environ.get("QTRT_MESH_SUBTILE", "32"))
 # Möller-Trumbore engine: "vpu" (default) is the elementwise formulation;
 # "mxu" computes det/U/V/T as rank-<=6 bilinear forms with four
 # [128,q]@[q,128] MXU matmuls per tri row (precision HIGHEST). Same accept
@@ -153,15 +166,17 @@ def build_mt_features(mesh: TriangleMesh, p_pad: int):
 
 def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                  t_min: float, num_clusters: int, num_tris: int,
-                 k_rows: int, mt_mode: str):
+                 k_rows: int, mt_mode: str, visit_mode: str = VISIT_MODE):
     if mt_mode == "mxu":
         (fdet, f_u, f_v, f_t,
          blox, bloy, bloz, bhix, bhiy, bhiz,
-         t_out, idx_out, enters_ref, counts_ref, tb_ref, ib_ref) = rest
+         t_out, idx_out, enters_ref, counts_ref, tb_ref, ib_ref,
+         counts_sl_ref) = rest
     else:
         (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
          blox, bloy, bloz, bhix, bhiy, bhiz,
-         t_out, idx_out, enters_ref, counts_ref, tb_ref, ib_ref) = rest
+         t_out, idx_out, enters_ref, counts_ref, tb_ref, ib_ref,
+         counts_sl_ref) = rest
     tcol = lambda row: jnp.transpose(row, (1, 0))      # (1,128) -> (128,1)
 
     for grp in range(GROUPS):
@@ -309,6 +324,91 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                 tb_ref[...] = t_best
                 ib_ref[...] = idx_best
 
+            def visit_sliced(c):
+                """Slice-gated sub-tiled Möller-Trumbore.
+
+                Rays are crossing-sorted, so a cluster's interested rays
+                pack into a few consecutive lanes of the 128-ray group: gate
+                each SUBTILE_ROWS-ray sublane slice on its own popcount
+                (counts_sl_ref, built alongside the block caps) and skip
+                slices with none. The gate is the same slack-padded
+                conservative cap as the cluster gate, so skipped slices
+                cannot contain a winner — outputs stay bitwise identical.
+                """
+                row_base = c * CLUSTER_ROWS
+                for s in range(128 // SUBTILE_ROWS):
+                    @pl.when(counts_sl_ref[c, s] > 0)
+                    def _(s=s):
+                        lo_s = s * SUBTILE_ROWS
+                        hi_s = lo_s + SUBTILE_ROWS
+                        _mt_slice(row_base, lo_s, hi_s)
+
+            def _mt_slice(row_base, lo_s, hi_s):
+                o_s = tuple(v[lo_s:hi_s, :] for v in o)         # (R,1)
+                d_s = tuple(v[lo_s:hi_s, :] for v in d)
+                t_best = tb_ref[lo_s:hi_s, :]                   # (R,1)
+                idx_best = ib_ref[lo_s:hi_s, :]
+                for sub in range(CLUSTER_ROWS):
+                    row = row_base + sub
+                    v0 = (v0x[pl.ds(row, 1), :], v0y[pl.ds(row, 1), :],
+                          v0z[pl.ds(row, 1), :])                # (1, 128)
+                    e1 = (e1x[pl.ds(row, 1), :], e1y[pl.ds(row, 1), :],
+                          e1z[pl.ds(row, 1), :])
+                    e2 = (e2x[pl.ds(row, 1), :], e2y[pl.ds(row, 1), :],
+                          e2z[pl.ds(row, 1), :])
+
+                    def cross(a, b):
+                        return (a[1] * b[2] - a[2] * b[1],
+                                a[2] * b[0] - a[0] * b[2],
+                                a[0] * b[1] - a[1] * b[0])
+
+                    def dot3(a, b):
+                        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+                    # (R rays, 128 tris) Möller-Trumbore.
+                    pv = cross(d_s, e2)
+                    det = dot3(pv, e1)
+                    ok_det = jnp.abs(det) > 1e-12
+                    inv_det = jnp.where(ok_det, 1.0, 0.0) / jnp.where(
+                        ok_det, det, 1.0)
+                    sv = (o_s[0] - v0[0], o_s[1] - v0[1], o_s[2] - v0[2])
+                    u = dot3(sv, pv) * inv_det
+                    qv = cross(sv, e1)
+                    v = dot3(qv, d_s) * inv_det
+                    t = dot3(qv, e2) * inv_det
+                    ok = (ok_det & (u >= 0.0) & (v >= 0.0)
+                          & (u + v <= 1.0) & (t >= t_min) & (t < t_best))
+                    tcand = jnp.where(ok, t, BIG)
+                    tmin_c = jnp.min(tcand, axis=1, keepdims=True)
+                    lanes = jax.lax.broadcasted_iota(
+                        jnp.int32, tcand.shape, 1)
+                    gid = row * LANE + lanes
+                    idx_c = jnp.min(
+                        jnp.where(tcand == tmin_c, gid, num_tris),
+                        axis=1, keepdims=True)
+                    better = tmin_c < t_best
+                    t_best = jnp.where(better, tmin_c, t_best)
+                    idx_best = jnp.where(
+                        better, jnp.where(idx_c >= num_tris, 0, idx_c),
+                        idx_best)
+                tb_ref[lo_s:hi_s, :] = t_best
+                ib_ref[lo_s:hi_s, :] = idx_best
+
+            def visit_subtile(c):
+                """Möller-Trumbore on (8 rays, 128 tris) sublane slices.
+
+                Same expression tree per (ray, tri) pair and the same
+                128-lane min/argmin as visit_vpu, so outputs are bitwise
+                identical — but every intermediate is ONE vreg (the
+                (128,128) formulation keeps ~12 16-vreg intermediates live,
+                spilling to VMEM every visit) and the ray-side operand
+                broadcast is a single-op (8,1) lane broadcast.
+                """
+                row_base = c * CLUSTER_ROWS
+                for s in range(128 // SUBTILE_ROWS):
+                    lo_s = s * SUBTILE_ROWS
+                    _mt_slice(row_base, lo_s, lo_s + SUBTILE_ROWS)
+
             # Plain sweep in BVH-DFS order with popcount skipping.
             # MEASURED NOTE (v5e, 100k-tri terrain, 480x270 primary+bounce):
             # a front-to-back variant (per-group sorted cluster keys + capped
@@ -319,7 +419,14 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
             # miss lane keeps the termination cap at its farthest box exit
             # (see git history for the implementation). Revisit only with
             # per-lane walk termination.
-            visit = visit_mxu if mt_mode == "mxu" else visit_vpu
+            if mt_mode == "mxu":
+                visit = visit_mxu
+            elif visit_mode == "sliced":
+                visit = visit_sliced
+            elif visit_mode == "subtile":
+                visit = visit_subtile
+            else:
+                visit = visit_vpu
 
             def cluster_body(c, _):
                 @pl.when(counts_ref[c, 0] > 0)
@@ -353,15 +460,25 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                 # ~5 ms with the clamp.
                 cap = jnp.minimum(tb_ref[...] * 1.0001 + 1e-4, 1.0e37)
                 ok = enters_ref[:, b0:b1] <= cap         # (128, blk)
-                counts_row = jnp.sum(ok.astype(jnp.int32), axis=0,
-                                     keepdims=True)      # (1, blk)
+                ok_i = ok.astype(jnp.int32)
+                counts_row = jnp.sum(ok_i, axis=0, keepdims=True)  # (1, blk)
+                if visit_mode == "sliced":
+                    # Per-(cluster, sublane-slice) popcounts for the sliced
+                    # visit's gate — same conservative cap, finer grain.
+                    n_sl = 128 // SUBTILE_ROWS
+                    counts_sl = jnp.sum(
+                        ok_i.reshape(n_sl, SUBTILE_ROWS, b1 - b0), axis=1)
 
                 # Whole-block skip: coherent (sorted) groups leave most
                 # 32-cluster blocks empty — skip the scalar cluster loop
                 # entirely, not just its visits.
                 @pl.when(jnp.sum(counts_row) > 0)
-                def _(b0=b0, b1=b1, counts_row=counts_row):
+                def _(b0=b0, b1=b1, counts_row=counts_row,
+                      counts_sl=counts_sl if visit_mode == "sliced" else None):
                     counts_ref[b0:b1, :] = jnp.transpose(counts_row, (1, 0))
+                    if visit_mode == "sliced":
+                        counts_sl_ref[b0:b1, :] = jnp.transpose(
+                            counts_sl, (1, 0))
                     jax.lax.fori_loop(b0, b1, cluster_body, 0)
             # A lane reports a MESH hit only if some triangle BEAT its
             # initial sphere cap (t < cap, same strict compare the caller's
@@ -380,12 +497,15 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
 
 
 def _c1_kernel(ox, oy, oz, dx, dy, dz, alive, tcap,
-               blox, bloy, bloz, bhix, bhiy, bhiz, c1_out,
-               *, t_min: float, num_clusters: int, k_rows: int):
+               blox, bloy, bloz, bhix, bhiy, bhiz, c1_out, c2_out,
+               *, t_min: float, num_clusters: int, k_rows: int,
+               pair: bool):
     """Per-ray FIRST-CROSSED-CLUSTER id (num_clusters when none): the
     phase-1 slab test of _mesh_kernel reduced to an argmin — runs BEFORE
     the main kernel to build the crossing-set sort key. Same cap-slack
-    gate as the emission/gating paths (sphere-capped, conservative)."""
+    gate as the emission/gating paths (sphere-capped, conservative).
+    pair=True additionally emits the SECOND-lowest crossed cluster id
+    (distinct from c1; num_clusters when none) for the two-level key."""
     tcol = lambda row: jnp.transpose(row, (1, 0))
     for grp in range(GROUPS):
         o = tuple(tcol(c[grp:grp+1, :]) for c in (ox, oy, oz))    # (128,1)
@@ -396,8 +516,8 @@ def _c1_kernel(ox, oy, oz, dx, dy, dz, alive, tcap,
         inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-30,
                                     jnp.where(c < 0, -1e-30, 1e-30), c)
                     for c in d)
-        c1 = jnp.full((128, 1), num_clusters, jnp.int32)
-        for kr in range(k_rows):
+
+        def block_mask(kr):
             blo = (blox[kr:kr+1, :], bloy[kr:kr+1, :], bloz[kr:kr+1, :])
             bhi = (bhix[kr:kr+1, :], bhiy[kr:kr+1, :], bhiz[kr:kr+1, :])
             enter = jnp.full((128, LANE), t_min, jnp.float32)
@@ -410,28 +530,163 @@ def _c1_kernel(ox, oy, oz, dx, dy, dz, alive, tcap,
             mask = (exit_ > enter) & (enter <= cap_col) & alive_col
             cid = kr * LANE + jax.lax.broadcasted_iota(
                 jnp.int32, mask.shape, 1)
+            return mask, cid
+
+        c1 = jnp.full((128, 1), num_clusters, jnp.int32)
+        for kr in range(k_rows):
+            mask, cid = block_mask(kr)
             row_min = jnp.min(jnp.where(mask, cid, num_clusters),
                               axis=1, keepdims=True)
             c1 = jnp.minimum(c1, row_min)
         c1_out[grp:grp+1, :] = jnp.transpose(c1, (1, 0))
+        if pair:
+            c2 = jnp.full((128, 1), num_clusters, jnp.int32)
+            for kr in range(k_rows):
+                mask, cid = block_mask(kr)
+                row_min2 = jnp.min(
+                    jnp.where(mask & (cid > c1), cid, num_clusters),
+                    axis=1, keepdims=True)
+                c2 = jnp.minimum(c2, row_min2)
+            c2_out[grp:grp+1, :] = jnp.transpose(c2, (1, 0))
+        else:
+            c2_out[grp:grp+1, :] = jnp.zeros((1, LANE), jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
+def _gate_kernel(ox, oy, oz, dx, dy, dz, alive, tcap,
+                 blox, bloy, bloz, bhix, bhiy, bhiz, gate_out,
+                 *, t_min: float, k_rows: int):
+    """Per-(128-ray-group, cluster) gate mask: 1 iff ANY live lane's
+    slack-padded sphere-capped slab entry admits the cluster — the phase-1
+    gate of _mesh_kernel hoisted into its own pass so XLA can turn it into
+    dense per-group visit LISTS (the list-driven kernel's input)."""
+    tcol = lambda row: jnp.transpose(row, (1, 0))
+    for grp in range(GROUPS):
+        o = tuple(tcol(c[grp:grp+1, :]) for c in (ox, oy, oz))    # (128,1)
+        d = tuple(tcol(c[grp:grp+1, :]) for c in (dx, dy, dz))
+        alive_col = tcol(alive[grp:grp+1, :]) != 0
+        cap_col = jnp.minimum(tcol(tcap[grp:grp+1, :]) * 1.0001 + 1e-4,
+                              1.0e37)
+        inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-30,
+                                    jnp.where(c < 0, -1e-30, 1e-30), c)
+                    for c in d)
+        for kr in range(k_rows):
+            blo = (blox[kr:kr+1, :], bloy[kr:kr+1, :], bloz[kr:kr+1, :])
+            bhi = (bhix[kr:kr+1, :], bhiy[kr:kr+1, :], bhiz[kr:kr+1, :])
+            enter = jnp.full((128, LANE), t_min, jnp.float32)
+            exit_ = jnp.full((128, LANE), BIG, jnp.float32)
+            for a in range(3):
+                t0 = (blo[a] - o[a]) * inv[a]
+                t1 = (bhi[a] - o[a]) * inv[a]
+                enter = jnp.maximum(enter, jnp.minimum(t0, t1))
+                exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
+            mask = (exit_ > enter) & (enter <= cap_col) & alive_col
+            any_row = jnp.max(mask.astype(jnp.int32), axis=0,
+                              keepdims=True)                   # (1, LANE)
+            gate_out[grp:grp+1, kr * LANE:(kr + 1) * LANE] = any_row
+
+
+def _list_kernel(counts, lists, ox, oy, oz, dx, dy, dz, alive, tcap,
+                 v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+                 t_out, idx_out,
+                 *, t_min: float, num_tris: int):
+    """List-driven clustered sweep: each 128-ray group walks its OWN dense
+    list of gated cluster ids in one fori_loop with the running best in
+    VREG carries — no per-cluster branch, no per-visit scratch round trip,
+    no in-kernel phase-1 (hoisted to _gate_kernel + an XLA argsort).
+    Bitwise-identical to _mesh_kernel: the list is a conservative superset
+    of the lagged-cap sweep's visits in the same ascending order, and a
+    non-improving cluster cannot change (t_best, idx_best) under the strict
+    '<' update."""
+    tcol = lambda row: jnp.transpose(row, (1, 0))
+    for grp in range(GROUPS):
+        count = counts[grp, 0]
+
+        @pl.when(count > 0)
+        def _(grp=grp, count=count):
+            o = tuple(tcol(c[grp:grp+1, :]) for c in (ox, oy, oz))
+            d = tuple(tcol(c[grp:grp+1, :]) for c in (dx, dy, dz))
+            alive_col = tcol(alive[grp:grp+1, :]) != 0
+            cap_col = jnp.where(alive_col, tcol(tcap[grp:grp+1, :]), BIG)
+
+            def cross(a, b):
+                return (a[1] * b[2] - a[2] * b[1],
+                        a[2] * b[0] - a[0] * b[2],
+                        a[0] * b[1] - a[1] * b[0])
+
+            def dot3(a, b):
+                return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+            def body(j, carry):
+                t_best, idx_best = carry
+                c = lists[j, grp]
+                row_base = c * CLUSTER_ROWS
+                for sub in range(CLUSTER_ROWS):
+                    row = row_base + sub
+                    v0 = (v0x[pl.ds(row, 1), :], v0y[pl.ds(row, 1), :],
+                          v0z[pl.ds(row, 1), :])                # (1, 128)
+                    e1 = (e1x[pl.ds(row, 1), :], e1y[pl.ds(row, 1), :],
+                          e1z[pl.ds(row, 1), :])
+                    e2 = (e2x[pl.ds(row, 1), :], e2y[pl.ds(row, 1), :],
+                          e2z[pl.ds(row, 1), :])
+                    pv = cross(d, e2)
+                    det = dot3(pv, e1)
+                    ok_det = jnp.abs(det) > 1e-12
+                    inv_det = jnp.where(ok_det, 1.0, 0.0) / jnp.where(
+                        ok_det, det, 1.0)
+                    sv = (o[0] - v0[0], o[1] - v0[1], o[2] - v0[2])
+                    u = dot3(sv, pv) * inv_det
+                    qv = cross(sv, e1)
+                    v = dot3(qv, d) * inv_det
+                    t = dot3(qv, e2) * inv_det
+                    ok = (ok_det & (u >= 0.0) & (v >= 0.0)
+                          & (u + v <= 1.0) & (t >= t_min) & (t < t_best))
+                    tcand = jnp.where(ok, t, BIG)
+                    tmin_c = jnp.min(tcand, axis=1, keepdims=True)
+                    lanes = jax.lax.broadcasted_iota(
+                        jnp.int32, tcand.shape, 1)
+                    gid = row * LANE + lanes
+                    idx_c = jnp.min(
+                        jnp.where(tcand == tmin_c, gid, num_tris),
+                        axis=1, keepdims=True)
+                    better = tmin_c < t_best
+                    t_best = jnp.where(better, tmin_c, t_best)
+                    idx_best = jnp.where(
+                        better, jnp.where(idx_c >= num_tris, 0, idx_c),
+                        idx_best)
+                return t_best, idx_best
+
+            t_best, idx_best = jax.lax.fori_loop(
+                0, count, body, (cap_col, jnp.zeros((128, 1), jnp.int32)))
+            won = t_best < cap_col
+            t_out[grp:grp+1, :] = jnp.transpose(
+                jnp.where(won, t_best, BIG), (1, 0))
+            idx_out[grp:grp+1, :] = jnp.transpose(
+                jnp.where(won, idx_best, 0), (1, 0))
+
+        @pl.when(jnp.logical_not(count > 0))
+        def _(grp=grp):
+            t_out[grp:grp+1, :] = jnp.full((1, LANE), BIG, jnp.float32)
+            idx_out[grp:grp+1, :] = jnp.zeros((1, LANE), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "interpret", "pair"))
 def first_crossed_cluster(mesh: TriangleMesh, origins, directions,
                           t_min: float, alive=None, t_cap=None,
-                          interpret: bool = False):
+                          interpret: bool = False, pair: bool = False):
     """[N] i32: id of the first (lowest-id) cluster whose slacked,
-    sphere-capped slab gate passes; k when none (dead rays -> k)."""
-    n = origins.shape[0]
+    sphere-capped slab gate passes; k when none (dead rays -> k).
+    pair=True returns (c1, c2): also the second-lowest distinct crossed
+    cluster id (k when none) for the two-level crossing sort key."""
+    oc, dc = _comps(origins), _comps(directions)
+    n = oc[0].shape[0]
     tile = GROUPS * LANE
     n_pad = max(-(-n // tile) * tile, tile)
     nb = n_pad // tile
 
-    def comp(x, i):
-        return jnp.pad(x[:, i], (0, n_pad - n)).reshape(nb * GROUPS, LANE)
+    def comp(x):
+        return jnp.pad(x, (0, n_pad - n)).reshape(nb * GROUPS, LANE)
 
-    rays = [comp(origins, i) for i in range(3)] + \
-           [comp(directions, i) for i in range(3)]
+    rays = [comp(c) for c in oc] + [comp(c) for c in dc]
     if alive is None:
         rays.append(jnp.ones((nb * GROUPS, LANE), jnp.int32))
     else:
@@ -449,15 +704,18 @@ def first_crossed_cluster(mesh: TriangleMesh, origins, directions,
                             memory_space=pltpu.VMEM)
     box_spec = pl.BlockSpec((kr, LANE), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    c1 = pl.pallas_call(
+    c1, c2 = pl.pallas_call(
         functools.partial(_c1_kernel, t_min=t_min, num_clusters=k,
-                          k_rows=kr),
+                          k_rows=kr, pair=pair),
         grid=(nb,),
         in_specs=[ray_spec] * 8 + [box_spec] * 6,
-        out_specs=ray_spec,
-        out_shape=jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.int32),
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.int32),
+                   jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.int32)),
         interpret=interpret,
     )(*rays, *box_planes)
+    if pair:
+        return c1.reshape(-1)[:n], c2.reshape(-1)[:n]
     return c1.reshape(-1)[:n]
 
 
@@ -471,19 +729,29 @@ def _part1by2(x):
     return x
 
 
+def _comps(x):
+    """Normalize a ray array to flat components: [N,3] -> ([N],[N],[N]);
+    tuples pass through (the flat-SoA integrator's zero-relayout path)."""
+    if isinstance(x, (tuple, list)):
+        return tuple(x)
+    return (x[:, 0], x[:, 1], x[:, 2])
+
+
 def sort_keys(origins, directions, alive, lo, hi):
     """Wavefront coherence sort key: (dead, origin Morton cell, direction
     octant). Dead rays sort LAST so they pack into all-dead 128-ray groups
     that the kernel's row_alive gate skips entirely (free compaction);
     origin locality dominates direction because nearby origins cross nearby
     cluster boxes. lo/hi: scene bounds (the BVH root box)."""
+    oc, dc = _comps(origins), _comps(directions)
     ext = jnp.maximum(hi - lo, 1e-6)
-    cell = jnp.clip(((origins - lo) / ext * 32.0).astype(jnp.int32), 0, 31)
-    morton = (_part1by2(cell[:, 0]) << 2) | (_part1by2(cell[:, 1]) << 1) \
-        | _part1by2(cell[:, 2])
-    octant = ((directions[:, 0] < 0).astype(jnp.int32) * 4
-              + (directions[:, 1] < 0).astype(jnp.int32) * 2
-              + (directions[:, 2] < 0).astype(jnp.int32))
+    cell = [jnp.clip(((oc[a] - lo[a]) / ext[a] * 32.0).astype(jnp.int32),
+                     0, 31) for a in range(3)]
+    morton = (_part1by2(cell[0]) << 2) | (_part1by2(cell[1]) << 1) \
+        | _part1by2(cell[2])
+    octant = ((dc[0] < 0).astype(jnp.int32) * 4
+              + (dc[1] < 0).astype(jnp.int32) * 2
+              + (dc[2] < 0).astype(jnp.int32))
     # OCTANT-major, then origin Morton: measured best gate-union shrinkage
     # (terrain, 64Ki incoherent rays, 128-ray groups: unsorted 116.5 gated
     # clusters -> origin-major 79 -> octant-major 41.6; finer direction
@@ -497,11 +765,11 @@ def sort_keys(origins, directions, alive, lo, hi):
 
 @functools.partial(jax.jit,
                    static_argnames=("t_min", "interpret", "sort", "mt",
-                                    "sort_mode"))
+                                    "sort_mode", "visit"))
 def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
                        t_min: float, interpret: bool = False, alive=None,
                        sort: bool = True, mt: str = MT_MODE, t_cap=None,
-                       sort_mode: str = "crossing"):
+                       sort_mode: str = "crossing", visit: str = VISIT_MODE):
     """Closest-hit over the mesh: (t [N] f32 BIG=miss, tri_idx [N] i32),
     detached. tri_idx refers to the BVH-reordered triangle arrays.
 
@@ -515,14 +783,14 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
     caller masks hit consumption with `alive` (tested:
     tests/test_kernels.py). Measured (v5e, 100k-tri terrain, 414Ki
     incoherent rays): 116 -> 44 gated clusters per 128-ray group."""
-    origins = jax.lax.stop_gradient(origins)
-    directions = jax.lax.stop_gradient(directions)
+    oc = tuple(jax.lax.stop_gradient(c) for c in _comps(origins))
+    dc = tuple(jax.lax.stop_gradient(c) for c in _comps(directions))
     mesh = jax.lax.stop_gradient(mesh)
 
-    n = origins.shape[0]
+    n = oc[0].shape[0]
     perm = None
     if sort and n >= 2048:
-        key = sort_keys(origins, directions,
+        key = sort_keys(oc, dc,
                         None if alive is None else jax.lax.stop_gradient(alive),
                         mesh.bvh_min[0], mesh.bvh_max[0])
         if sort_mode == "crossing":
@@ -535,31 +803,57 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
             # benchmarks/mesh_gate_analysis.py). Live keys stay < 196*2^18
             # + 2^18, so the 2^30 dead marker still sorts dead rays last.
             c1 = first_crossed_cluster(
-                mesh, origins, directions, t_min,
+                mesh, oc, dc, t_min,
                 alive=None if alive is None
                 else jax.lax.stop_gradient(alive),
                 t_cap=None if t_cap is None
                 else jax.lax.stop_gradient(t_cap),
                 interpret=interpret)
             key = c1 * jnp.int32(1 << 18) + key
+        elif sort_mode == "crossing2":
+            # Two-level crossing key (c1, c2): rays sharing their first TWO
+            # crossed clusters pack together, shrinking the group gate union
+            # below the c1-only key. Key layout (fits i32 for k <= 254):
+            #   (c1*(k+1)+c2) * 2^15  |  octant(3)  |  morton 4 bits/axis.
+            # Dead rays get INT32_MAX (sorts last).
+            k_cl = prep_mesh_clusters(mesh)[4]
+            c1, c2 = first_crossed_cluster(
+                mesh, oc, dc, t_min,
+                alive=None if alive is None
+                else jax.lax.stop_gradient(alive),
+                t_cap=None if t_cap is None
+                else jax.lax.stop_gradient(t_cap),
+                interpret=interpret, pair=True)
+            lo = mesh.bvh_min[0]
+            ext = jnp.maximum(mesh.bvh_max[0] - lo, 1e-6)
+            cell = [jnp.clip(((oc[a] - lo[a]) / ext[a] * 16.0)
+                             .astype(jnp.int32), 0, 15) for a in range(3)]
+            m12 = ((_part1by2(cell[0]) << 2) | (_part1by2(cell[1]) << 1)
+                   | _part1by2(cell[2])) & 0xFFF
+            octant = ((dc[0] < 0).astype(jnp.int32) * 4
+                      + (dc[1] < 0).astype(jnp.int32) * 2
+                      + (dc[2] < 0).astype(jnp.int32))
+            pair_key = c1 * jnp.int32(k_cl + 1) + c2
+            key = pair_key * jnp.int32(1 << 15) + (octant << 12) + m12
+            if alive is not None:
+                key = jnp.where(jax.lax.stop_gradient(alive), key,
+                                jnp.int32(2**31 - 1))
         perm = jnp.argsort(key)
-        origins = origins[perm]
-        directions = directions[perm]
+        oc = tuple(c[perm] for c in oc)
+        dc = tuple(c[perm] for c in dc)
         if alive is not None:
             alive = jax.lax.stop_gradient(alive)[perm]
         if t_cap is not None:
             t_cap = jax.lax.stop_gradient(t_cap)[perm]
 
-    n = origins.shape[0]
     tile = GROUPS * LANE
     n_pad = max(-(-n // tile) * tile, tile)
     nb = n_pad // tile
 
-    def comp(x, i):
-        return jnp.pad(x[:, i], (0, n_pad - n)).reshape(nb * GROUPS, LANE)
+    def comp(x):
+        return jnp.pad(x, (0, n_pad - n)).reshape(nb * GROUPS, LANE)
 
-    rays = [comp(origins, i) for i in range(3)] + \
-           [comp(directions, i) for i in range(3)]
+    rays = [comp(c) for c in oc] + [comp(c) for c in dc]
     if alive is None:
         alive_arr = jnp.ones((nb * GROUPS, LANE), jnp.int32)
     else:
@@ -580,6 +874,59 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
     pr = tri_planes[0].shape[0]
     kr = box_planes[0].shape[0]
 
+    if visit == "list":
+        ray_spec = pl.BlockSpec((GROUPS, LANE), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        box_spec = pl.BlockSpec((kr, LANE), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        gate = pl.pallas_call(
+            functools.partial(_gate_kernel, t_min=t_min, k_rows=kr),
+            grid=(nb,),
+            in_specs=[ray_spec] * 8 + [box_spec] * 6,
+            out_specs=pl.BlockSpec((GROUPS, k_pad), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nb * GROUPS, k_pad), jnp.int32),
+            interpret=interpret,
+        )(*rays, *box_planes)
+        # Dense ascending visit lists: gated cluster ids first (stable
+        # argsort of the inverted gate), then padding ids never read
+        # (the fori_loop stops at count).
+        counts = jnp.sum(gate, axis=-1, dtype=jnp.int32)     # [rows]
+        order = jnp.argsort(1 - gate, axis=-1, stable=True).astype(jnp.int32)
+        lists_t = order.T                                     # [k_pad, rows]
+        counts_in = jnp.broadcast_to(counts[:, None],
+                                     (nb * GROUPS, LANE)).astype(jnp.int32)
+        t, idx = pl.pallas_call(
+            functools.partial(_list_kernel, t_min=t_min,
+                              num_tris=mesh.num_triangles),
+            grid=(nb,),
+            in_specs=[ray_spec,
+                      pl.BlockSpec((k_pad, GROUPS), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)]
+            + [ray_spec] * 8
+            + [pl.BlockSpec((pr, LANE), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)] * 9,
+            out_specs=(ray_spec, ray_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.int32),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=n_pad * 16 * 45 * 4 * LANE,
+                bytes_accessed=n_pad * 4 * 8 + pr * LANE * 9 * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(counts_in, lists_t, *rays, *tri_planes)
+        t = jax.lax.stop_gradient(t.reshape(-1)[:n])
+        idx = jax.lax.stop_gradient(idx.reshape(-1)[:n])
+        if perm is not None:
+            t = jnp.zeros_like(t).at[perm].set(t, unique_indices=True,
+                                               mode="drop")
+            idx = jnp.zeros_like(idx).at[perm].set(idx, unique_indices=True,
+                                                   mode="drop")
+        return t, idx
+
     if mt == "mxu":
         feats = build_mt_features(mesh, k * CLUSTER_ROWS * LANE)
         tri_args = list(feats)
@@ -599,7 +946,7 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
     t, idx = pl.pallas_call(
         functools.partial(_mesh_kernel, t_min=t_min, num_clusters=k,
                           num_tris=mesh.num_triangles, k_rows=kr,
-                          mt_mode=mt),
+                          mt_mode=mt, visit_mode=visit),
         grid=(nb,),
         in_specs=[ray_spec] * 8 + tri_specs + [box_spec] * 6,
         out_specs=(ray_spec, ray_spec),
@@ -612,6 +959,8 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
             pltpu.VMEM((k_pad, 1), jnp.int32),       # gate counts (lagged cap)
             pltpu.VMEM((128, 1), jnp.float32),       # running t_best (col)
             pltpu.VMEM((128, 1), jnp.int32),         # running idx_best
+            pltpu.VMEM((k_pad, 128 // SUBTILE_ROWS),
+                       jnp.int32),                   # per-slice gate counts
         ],
         cost_estimate=pl.CostEstimate(
             flops=n_pad * (k_pad * 20 + 45 * 4 * LANE),

@@ -62,6 +62,18 @@ def test_sort_bitwise_on_live_lanes(setup, mt, mode):
     np.testing.assert_array_equal(i0[alive], i1[alive])
 
 
+def test_subtile_visit_bitwise_equals_full(setup):
+    # The (8,128) sub-tiled visit must reproduce the (128,128) visit
+    # BITWISE (same expression tree per (ray,tri), same 128-lane argmin).
+    mesh, o, d, _ = setup
+    t0, i0 = mesh_search_pallas(mesh, o, d, 1e-3, interpret=True,
+                                visit="full")
+    t1, i1 = mesh_search_pallas(mesh, o, d, 1e-3, interpret=True,
+                                visit="subtile")
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
 def test_first_crossed_cluster_matches_xla(setup):
     # The c1 kernel's slab gate must match the XLA formulation on the same
     # epsilon-padded cluster boxes (the sort key only needs consistency,
