@@ -74,7 +74,12 @@ def _sphere_solid_angle_pdf(center, radius, from_point):
     cos_max = vm.safe_sqrt(1.0 - sin2)
     omc = sin2 / (1.0 + cos_max)                 # = 1 - cos_max, stable
     ok = outside & (omc > 1e-12)
-    pdf = jnp.where(ok, 1.0 / jnp.maximum(2.0 * jnp.pi * omc, 1e-30), 0.0)
+    # NaN-safe denominator (double-where): the masked branch must see a
+    # BENIGN denominator — with a raw 1e-30 clamp the backward partial
+    # -1/den^2 overflows f32 to inf, and 0-cotangent * inf = NaN poisons
+    # every geometry gradient (found via camera grads with NEE on).
+    den = jnp.where(ok, jnp.maximum(2.0 * jnp.pi * omc, 1e-30), 1.0)
+    pdf = jnp.where(ok, 1.0 / den, 0.0)
     return pdf, ok, cos_max, to_l, dist2
 
 
@@ -129,8 +134,10 @@ def _nee_mis(world: World, lights: WorldLights, hits, throughput,
     n_l = cr / jnp.maximum(two_area, 1e-20)[:, None]
     cos_l = jnp.abs(vm.dot(n_l, dir_tri))
     ok_tri = (d2 > 1e-12) & (cos_l > 1e-7) & (area > 1e-20)
-    pdf_tri = jnp.where(
-        ok_tri, d2 / jnp.maximum(cos_l * area, 1e-30), 0.0)
+    # NaN-safe denominator: see _sphere_solid_angle_pdf. With sphere-light
+    # rows (area == 0) the raw clamp's backward partial -d2/1e-60 is inf.
+    den_t = jnp.where(ok_tri, jnp.maximum(cos_l * area, 1e-30), 1.0)
+    pdf_tri = jnp.where(ok_tri, d2 / den_t, 0.0)
 
     ldir = jnp.where(is_tri[:, None], dir_tri, dir_sph)    # unit
     pdf_j = jnp.where(is_tri, pdf_tri, pdf_sph)
@@ -146,7 +153,10 @@ def _nee_mis(world: World, lights: WorldLights, hits, throughput,
     le = row[:, 9:12]
     pdf_nee = pdf_j / n_lights
     denom = pdf_nee + cos_surf * INV_PI                    # balance heuristic
-    factor = cos_surf * INV_PI / jnp.maximum(denom, 1e-30)
+    # factor is only consumed under lit (a subset of cand); cand lanes have
+    # cos_surf > 0 so denom > 0 — NaN-safe denominator as above.
+    den_f = jnp.where(cand, jnp.maximum(denom, 1e-30), 1.0)
+    factor = jnp.where(cand, cos_surf * INV_PI / den_f, 0.0)
     contrib = throughput * hits.albedo * factor[:, None] * le
     return jnp.where(lit[:, None], contrib, 0.0)
 
@@ -167,8 +177,8 @@ def _emitter_mis_weight(world: World, lights: WorldLights, hits, origin,
     w_hat = vm.safe_unit_vector(wv)
     cos_l = jnp.abs(vm.dot(hits.normal, w_hat))            # unit geom normal
     ok_tri = (d2 > 1e-12) & (cos_l > 1e-7) & (hits.area > 1e-20)
-    pdf_tri = jnp.where(
-        ok_tri, d2 / jnp.maximum(cos_l * hits.area, 1e-30), 0.0)
+    den_t = jnp.where(ok_tri, jnp.maximum(cos_l * hits.area, 1e-30), 1.0)
+    pdf_tri = jnp.where(ok_tri, d2 / den_t, 0.0)
 
     pdf_nee = jnp.where(is_sphere, pdf_sph, pdf_tri) / lights.n_total
     use_mis = prev_pdf > 0.0

@@ -134,7 +134,9 @@ def _sphere_pdf_flat(lcx, lcy, lcz, lr, px, py, pz):
     cos_max = _safe_sqrt(1.0 - sin2)
     omc = sin2 / (1.0 + cos_max)
     ok = outside & (omc > 1e-12)
-    pdf = jnp.where(ok, 1.0 / jnp.maximum(TWO_PI * omc, 1e-30), 0.0)
+    # NaN-safe denominator (integrator._sphere_solid_angle_pdf note).
+    den = jnp.where(ok, jnp.maximum(TWO_PI * omc, 1e-30), 1.0)
+    pdf = jnp.where(ok, 1.0 / den, 0.0)
     return pdf, ok, cos_max, (tox, toy, toz)
 
 
@@ -180,7 +182,8 @@ def _nee_flat(scene, px, py, pz, nx, ny, nz, ax, ay, az, tx, ty, tz,
     # into a single denominator (mirrors integrator._nee_mis).
     pdf_nee = pdf_j / n_lights
     denom = pdf_nee + cos_surf * INV_PI
-    factor = cos_surf * INV_PI / jnp.maximum(denom, 1e-30)
+    den_f = jnp.where(cand, jnp.maximum(denom, 1e-30), 1.0)
+    factor = jnp.where(cand, cos_surf * INV_PI / den_f, 0.0)
     cx = tx * ax * factor * lex
     cy = ty * ay * factor * ley
     cz = tz * az * factor * lez
@@ -262,7 +265,8 @@ def _tri_pdf_flat(wx, wy, wz, d2, nx, ny, nz, area):
     integrator._nee_mis / _emitter_mis_weight's triangle side)."""
     cos_l = jnp.abs(nx * wx + ny * wy + nz * wz)
     ok = (d2 > 1e-12) & (cos_l > 1e-7) & (area > 1e-20)
-    pdf = jnp.where(ok, d2 / jnp.maximum(cos_l * area, 1e-30), 0.0)
+    den = jnp.where(ok, jnp.maximum(cos_l * area, 1e-30), 1.0)
+    pdf = jnp.where(ok, d2 / den, 0.0)
     return pdf, ok
 
 
@@ -319,7 +323,9 @@ def _nee_flat_world(world, lights, px, py, pz, nx, ny, nz, ax, ay, az,
     crz = e1x_ * e2y_ - e1y_ * e2x_
     two_area = _safe_sqrt(crx * crx + cry * cry + crz * crz)
     area = 0.5 * two_area
-    inv2a = 1.0 / jnp.maximum(two_area, 1e-20)
+    has_area = two_area > 1e-20
+    inv2a = jnp.where(has_area,
+                      1.0 / jnp.where(has_area, two_area, 1.0), 0.0)
     pdf_t, ok_t = _tri_pdf_flat(dtx, dty, dtz, d2, crx * inv2a, cry * inv2a,
                                 crz * inv2a, area)
 
@@ -346,7 +352,8 @@ def _nee_flat_world(world, lights, px, py, pz, nx, ny, nz, ax, ay, az,
     lex, ley, lez = row[:, 9], row[:, 10], row[:, 11]
     pdf_nee = pdf_j / n_lights
     denom = pdf_nee + cos_surf * INV_PI
-    factor = cos_surf * INV_PI / jnp.maximum(denom, 1e-30)
+    den_f = jnp.where(cand, jnp.maximum(denom, 1e-30), 1.0)
+    factor = jnp.where(cand, cos_surf * INV_PI / den_f, 0.0)
     cx = tx * ax * factor * lex
     cy = ty * ay * factor * ley
     cz = tz * az * factor * lez
@@ -388,6 +395,7 @@ def trace_flat(
     interpret: bool = False,
     diff: bool = False,
     compact: bool = False,
+    exclude_prim0=None,
 ) -> jnp.ndarray:
     """Drop-in replacement for integrator.trace (sphere scenes).
 
@@ -414,26 +422,28 @@ def trace_flat(
         return _trace_flat_impl(scene, origins, directions, sample_keys,
                                 max_depth, float(t_min), bool(nee),
                                 int(rr_start), bool(interpret), diff=True,
-                                compact=bool(compact))
+                                compact=bool(compact),
+                                exclude_prim0=exclude_prim0)
     return _trace_flat_guarded(scene, origins, directions, sample_keys,
+                               exclude_prim0,
                                max_depth, float(t_min), bool(nee),
                                int(rr_start), bool(interpret),
                                bool(compact))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
-def _trace_flat_guarded(scene, origins, directions, sample_keys,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _trace_flat_guarded(scene, origins, directions, sample_keys, exclude0,
                         max_depth, t_min, nee, rr_start, interpret, compact):
     return _trace_flat_impl(scene, origins, directions, sample_keys,
                             max_depth, t_min, nee, rr_start, interpret,
-                            compact=compact)
+                            compact=compact, exclude_prim0=exclude0)
 
 
-def _trace_flat_fwd(scene, origins, directions, sample_keys,
+def _trace_flat_fwd(scene, origins, directions, sample_keys, exclude0,
                     max_depth, t_min, nee, rr_start, interpret, compact):
     out = _trace_flat_impl(scene, origins, directions, sample_keys,
                            max_depth, t_min, nee, rr_start, interpret,
-                           compact=compact)
+                           compact=compact, exclude_prim0=exclude0)
     return out, None
 
 
@@ -659,7 +669,7 @@ def _rederive_hits_flat(scene, ox, oy, oz, dx, dy, dz, t_sel, idx, t_min):
 
 def _trace_flat_impl(scene, origins, directions, sample_keys,
                      max_depth, t_min, nee, rr_start, interpret,
-                     diff=False, compact=False):
+                     diff=False, compact=False, exclude_prim0=None):
     n = origins.shape[0]
     n_pad = (-n) % TILE
 
@@ -689,6 +699,13 @@ def _trace_flat_impl(scene, origins, directions, sample_keys,
     # f32 iota is exact to 2^24 lanes. Restores pixel order after compaction.
     pid = (padf(origins[:, 0]) * 0.0
            + jnp.arange(n_tot, dtype=jnp.float32)).astype(jnp.int32)
+    excl0 = None
+    if exclude_prim0 is not None:
+        if compact:
+            raise ValueError("exclude_prim0 is incompatible with compact "
+                             "(lane permutation would detach the exclusion)")
+        excl0 = jnp.pad(exclude_prim0.astype(jnp.int32), (0, n_pad),
+                        constant_values=-1) if n_pad else             exclude_prim0.astype(jnp.int32)
     state = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
              alive0, zero - 1.0,  # ..., alive, prev_pdf (-1 = full weight)
              keys, pid)
@@ -696,6 +713,10 @@ def _trace_flat_impl(scene, origins, directions, sample_keys,
     def bounce(state, depth_idx):
         (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
          alive, prev_pdf, keys, pid) = state
+        # Silhouette background re-trace: winner excluded at bounce 0 ONLY
+        # (diff/edge.py); later bounces see the full scene.
+        excl_b = None if excl0 is None else jnp.where(
+            depth_idx == 0, excl0, -1)
         if compact:
             # Alive-compaction sort: pack live rays into a dense prefix so
             # whole 128-lane kernel rows go dead (the kernel's row_alive
@@ -724,12 +745,13 @@ def _trace_flat_impl(scene, origins, directions, sample_keys,
         if diff:
             sel = fused_hit_pallas(scene, ox, oy, oz, dx, dy, dz, alive,
                                    float(t_min), shadow_only=True,
-                                   interpret=interpret)
+                                   interpret=interpret, exclude=excl_b)
             h = _rederive_hits_flat(scene, ox, oy, oz, dx, dy, dz,
                                     sel["t"], sel["idx"], t_min)
         else:
             h = fused_hit_pallas(scene, ox, oy, oz, dx, dy, dz, alive,
-                                 float(t_min), interpret=interpret)
+                                 float(t_min), interpret=interpret,
+                                 exclude=excl_b)
         hit = h["t"] < BIG
         ff = h["ff"] > 0
 

@@ -47,8 +47,8 @@ TILE = SUBLANE * RAY_BLOCK  # 1024 rays per grid step
 N_PARAMS = 13
 
 
-def _fused_kernel(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz, c2r2, ptab,
-                  t_out, idx_out, mat_out, ff_out,
+def _fused_kernel(ox, oy, oz, dx, dy, dz, alive, excl, cx, cy, cz, c2r2,
+                  ptab, t_out, idx_out, mat_out, ff_out,
                   px_out, py_out, pz_out, nx_out, ny_out, nz_out,
                   ax_out, ay_out, az_out, fz_out, io_out,
                   ex_out, ey_out, ez_out, rw_out,
@@ -58,6 +58,12 @@ def _fused_kernel(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz, c2r2, ptab,
 
     shadow_only=True emits just (t, idx) — the NEE occlusion query needs
     nothing else, and skipping extraction/refinement halves its cost.
+
+    excl (None or (8,128) i32 ref): per-lane excluded sphere id (-1 = none) —
+    that candidate row is masked out of the sweep before the min-reduce (the
+    silhouette boundary term's background re-trace, diff/edge.py). The
+    compare+and is only compiled in when an exclusion operand exists, so the
+    plain path's instruction stream is untouched.
     """
     c_x, c_y, c_z = cx[...], cy[...], cz[...]          # (S, 1)
     c2 = c2r2[...]
@@ -174,6 +180,10 @@ def _fused_kernel(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz, c2r2, ptab,
             far_ok = (far >= t_min) & (far <= BIG)
             root = jnp.where(near_ok, near, far)
             valid = (disc >= 0.0) & (near_ok | far_ok)
+            if excl is not None:
+                srows = jax.lax.broadcasted_iota(
+                    jnp.int32, (s_rows, RAY_BLOCK), 0)
+                valid = valid & (srows != excl[r:r+1, :])
             # Scratch round-trip: the min-reduce and the equality match must
             # read identical bits (FMA-contraction divergence otherwise).
             tcand_ref[...] = jnp.where(valid, root, BIG)
@@ -260,7 +270,8 @@ def prep_fused_spheres(scene: SphereScene, mxu_extract: bool):
                                               "interpret", "mxu_extract"))
 def fused_hit_pallas(scene: SphereScene, ox, oy, oz, dx, dy, dz, alive,
                      t_min: float, shadow_only: bool = False,
-                     interpret: bool = False, mxu_extract: bool = True):
+                     interpret: bool = False, mxu_extract: bool = True,
+                     exclude=None):
     """Fused hit query on flat ray components (all [N], N % 1024 == 0).
 
     Returns a dict of detached flat arrays:
@@ -269,6 +280,10 @@ def fused_hit_pallas(scene: SphereScene, ox, oy, oz, dx, dy, dz, alive,
 
     t = BIG means miss. Miss lanes carry sphere-0 parameters (matching the
     XLA path's params[0] gather) and benign finite geometry.
+
+    exclude (optional [N] i32): per-lane sphere id masked out of the sweep
+    (-1 = none) — the edge-aware background re-trace (diff/edge.py). Omitting
+    it compiles the exclusion test out entirely.
     """
     args = [jax.lax.stop_gradient(x) for x in
             (ox, oy, oz, dx, dy, dz)]
@@ -281,6 +296,8 @@ def fused_hit_pallas(scene: SphereScene, ox, oy, oz, dx, dy, dz, alive,
     rs = lambda x: x.reshape(shp)
     alive_arr = rs(jax.lax.stop_gradient(alive).astype(jnp.int32))
     rays = [rs(x) for x in args] + [alive_arr]
+    if exclude is not None:
+        rays.append(rs(jax.lax.stop_gradient(exclude).astype(jnp.int32)))
 
     (cx, cy, cz, c2r2), ptab = prep_fused_spheres(scene, mxu_extract)
     s_pad = cx.shape[0]
@@ -302,24 +319,28 @@ def fused_hit_pallas(scene: SphereScene, ox, oy, oz, dx, dy, dz, alive,
                  "ax", "ay", "az", "fuzz", "ior", "ex", "ey", "ez", "rw")
         out_shape = (f_out, i_out, i_out, i_out) + (f_out,) * 15
 
-    kernel = functools.partial(_fused_kernel, t_min=t_min,
-                               num_spheres=scene.num_spheres,
-                               shadow_only=shadow_only,
-                               mxu_extract=mxu_extract)
-    if shadow_only:
-        # Same kernel body, 2 output refs; the 16 unused refs are never read.
-        def kernel(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz, c2r2,
-                   ptab, t_out, idx_out, tcand_ref):
-            _fused_kernel(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz, c2r2,
-                          ptab, t_out, idx_out,
-                          *([None] * 17), tcand_ref, t_min=t_min,
-                          num_spheres=scene.num_spheres, shadow_only=True,
-                          mxu_extract=mxu_extract)
+    n_ray_ops = len(rays)
+    if exclude is None:
+        def kernel(*refs):
+            ins, outs_refs = refs[:n_ray_ops + 5], refs[n_ray_ops + 5:]
+            _fused_kernel(*ins[:7], None, *ins[7:], *outs_refs[:-1],
+                          *([None] * (19 - (2 if shadow_only else 19))),
+                          outs_refs[-1], t_min=t_min,
+                          num_spheres=scene.num_spheres,
+                          shadow_only=shadow_only, mxu_extract=mxu_extract)
+    else:
+        def kernel(*refs):
+            ins, outs_refs = refs[:n_ray_ops + 5], refs[n_ray_ops + 5:]
+            _fused_kernel(*ins, *outs_refs[:-1],
+                          *([None] * (19 - (2 if shadow_only else 19))),
+                          outs_refs[-1], t_min=t_min,
+                          num_spheres=scene.num_spheres,
+                          shadow_only=shadow_only, mxu_extract=mxu_extract)
 
     outs = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[ray_spec] * 7 + [col_spec] * 4 + [tab_spec],
+        in_specs=[ray_spec] * n_ray_ops + [col_spec] * 4 + [tab_spec],
         out_specs=tuple(ray_spec for _ in out_shape),
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((s_pad, RAY_BLOCK), jnp.float32)],

@@ -71,6 +71,10 @@ SUBTILE_ROWS = int(os.environ.get("QTRT_MESH_SUBTILE", "32"))
 # tested variant; revisit if a bf16-candidate pass (PERFORMANCE.md roadmap)
 # lands.
 MT_MODE = os.environ.get("QTRT_MESH_MT", "vpu")
+# Wavefront sort key family: "crossing" (first gated cluster id, default)
+# or "crossing2" (first TWO gated cluster ids — finer grouping, one extra
+# gate pass). Overridable per-call via mesh_search_pallas(sort_mode=...).
+SORT_MODE = os.environ.get("QTRT_MESH_SORT", "crossing")
 
 
 def prep_mesh_clusters(mesh: TriangleMesh):
@@ -618,7 +622,7 @@ def _list_kernel(counts, lists, ox, oy, oz, dx, dy, dz, alive, tcap,
 
             def body(j, carry):
                 t_best, idx_best = carry
-                c = lists[j, grp]
+                c = lists[0, j, grp]
                 row_base = c * CLUSTER_ROWS
                 for sub in range(CLUSTER_ROWS):
                     row = row_base + sub
@@ -769,7 +773,7 @@ def sort_keys(origins, directions, alive, lo, hi):
 def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
                        t_min: float, interpret: bool = False, alive=None,
                        sort: bool = True, mt: str = MT_MODE, t_cap=None,
-                       sort_mode: str = "crossing", visit: str = VISIT_MODE):
+                       sort_mode: str = SORT_MODE, visit: str = VISIT_MODE):
     """Closest-hit over the mesh: (t [N] f32 BIG=miss, tri_idx [N] i32),
     detached. tri_idx refers to the BVH-reordered triangle arrays.
 
@@ -893,7 +897,13 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
         # (the fori_loop stops at count).
         counts = jnp.sum(gate, axis=-1, dtype=jnp.int32)     # [rows]
         order = jnp.argsort(1 - gate, axis=-1, stable=True).astype(jnp.int32)
-        lists_t = order.T                                     # [k_pad, rows]
+        # [nb, k_pad, 128]: per grid step, group g's ascending list lives in
+        # LANE g (lists are read with a dynamic SUBLANE index j — legal —
+        # and a static lane per unrolled group; lanes pad 8 -> 128 because
+        # Mosaic requires lane-dim blocks of 128).
+        lists3 = jnp.pad(
+            order.reshape(nb, GROUPS, k_pad).transpose(0, 2, 1),
+            ((0, 0), (0, 0), (0, LANE - GROUPS)))
         counts_in = jnp.broadcast_to(counts[:, None],
                                      (nb * GROUPS, LANE)).astype(jnp.int32)
         t, idx = pl.pallas_call(
@@ -901,7 +911,7 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
                               num_tris=mesh.num_triangles),
             grid=(nb,),
             in_specs=[ray_spec,
-                      pl.BlockSpec((k_pad, GROUPS), lambda i: (0, i),
+                      pl.BlockSpec((1, k_pad, LANE), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)]
             + [ray_spec] * 8
             + [pl.BlockSpec((pr, LANE), lambda i: (0, 0),
@@ -917,7 +927,7 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(counts_in, lists_t, *rays, *tri_planes)
+        )(counts_in, lists3, *rays, *tri_planes)
         t = jax.lax.stop_gradient(t.reshape(-1)[:n])
         idx = jax.lax.stop_gradient(idx.reshape(-1)[:n])
         if perm is not None:

@@ -105,6 +105,40 @@ def test_center_gradient_through_squared_loss():
     np.testing.assert_allclose(g_edge, fd, rtol=0.5)
 
 
+def test_edge_aware_fused_path_matches_xla():
+    # The fused flat edge path (kernel selection + per-lane exclusion +
+    # trace_flat re-derives) must agree with the xla edge path: identical
+    # primal (both primal-zero over their own forward) and matching
+    # gradients (same estimator, ulp-level forward differences only).
+    scene, cam = _one_sphere()
+    cfg_f = dc.replace(CFG, intersector="fused_interpret")
+    cfg_fe = dc.replace(cfg_f, edge_aware=True)
+
+    # Primal-zero on the fused path: bitwise-identical forward images.
+    a = np.asarray(mean_image(scene, cam, cfg_f, KEY))
+    b = np.asarray(mean_image(scene, cam, cfg_fe, KEY))
+    np.testing.assert_array_equal(a, b)
+
+    def loss(dr, cfg):
+        sc = dc.replace(scene, radius=scene.radius.at[0].add(dr))
+        return _mean_rad(sc, cam, cfg)
+
+    g_xla = float(jax.grad(lambda d: loss(d, CFG_EDGE))(0.0))
+    g_fused = float(jax.grad(lambda d: loss(d, cfg_fe))(0.0))
+    np.testing.assert_allclose(g_fused, g_xla, rtol=5e-3)
+
+    def loss_cam(dx, cfg):
+        c = dc.replace(
+            cam, origin=cam.origin + jnp.array([dx, 0.0, 0.0]),
+            lower_left_corner=(cam.lower_left_corner
+                               + jnp.array([dx, 0.0, 0.0])))
+        return _mean_rad(scene, c, cfg)
+
+    gc_xla = float(jax.grad(lambda d: loss_cam(d, CFG_EDGE))(0.0))
+    gc_fused = float(jax.grad(lambda d: loss_cam(d, cfg_fe))(0.0))
+    np.testing.assert_allclose(gc_fused, gc_xla, rtol=5e-3)
+
+
 def test_camera_pose_recovery_with_edge_gradients():
     # VERDICT r1 item 2 done-criterion: recover a 0.15-unit camera-origin
     # perturbation WITHOUT the 0.05x-lr crutch. Pose parameterization
