@@ -54,12 +54,18 @@ def _tri_hit_one(mesh, tri_idx, o, d, t_min, t_max):
 
 
 def intersect_mesh(mesh: TriangleMesh, origins, directions, t_min,
-                   t_max=BIG, max_leaf: int = 4, alive=None) -> TriHit:
+                   t_max=BIG, max_leaf: int = 4, alive=None,
+                   exclude=None) -> TriHit:
     """Closest triangle hit for N rays. Detached (stop_gradient) like the
-    sphere search; callers re-derive differentiable quantities from tri_idx."""
+    sphere search; callers re-derive differentiable quantities from tri_idx.
+
+    exclude: optional [N] i32 per-ray triangle index masked out of the
+    search (-1 = none) — the mesh-silhouette boundary term's background
+    re-trace (diff/edge.py)."""
     o = jax.lax.stop_gradient(origins)
     d = jax.lax.stop_gradient(directions)
     mesh = jax.lax.stop_gradient(mesh)
+    excl = None if exclude is None else jax.lax.stop_gradient(exclude)
     n = o.shape[0]
     m = mesh.bvh_escape.shape[0]
 
@@ -105,6 +111,8 @@ def intersect_mesh(mesh: TriangleMesh, origins, directions, t_min,
             t_k = _tri_hit_one(mesh, tri, o, d, t_min,
                                jnp.minimum(tb, t_max))
             take = do_leaf & (k < count) & (t_k < tb)
+            if excl is not None:
+                take = take & (tri != excl)
             tb = jnp.where(take, t_k, tb)
             ib = jnp.where(take, tri, ib)
 

@@ -131,15 +131,23 @@ def intersect_world(world: World, origins, directions, t_min,
                     backend: str = "xla", alive=None, exclude=None) -> Hits:
     """Closest hit over every primitive family, merged into one Hits.
 
-    exclude: optional [N] i32 per-ray SPHERE index to mask out (-1 = none;
-    mesh ids not supported) — the edge-aware gradient background re-trace."""
+    exclude: optional [N] i32 per-ray UNIFIED prim index to mask out
+    (-1 = none): ids < num_spheres exclude that sphere, ids >= num_spheres
+    exclude triangle (id - num_spheres) from the mesh search — the
+    edge-aware gradient background re-trace (diff/edge.py)."""
+    ns = world.spheres.num_spheres
+    excl_s = excl_m = None
+    if exclude is not None:
+        exclude = jax.lax.stop_gradient(exclude)
+        excl_s = jnp.where((exclude >= 0) & (exclude < ns), exclude, -1)
+        excl_m = jnp.where(exclude >= ns, exclude - ns, -1)
     hs = intersect_spheres(world.spheres, origins, directions, t_min,
-                           backend=backend, alive=alive, exclude=exclude)
+                           backend=backend, alive=alive, exclude=excl_s)
     mesh = world.mesh
     if mesh is None:
         return hs
 
-    if backend in ("pallas", "pallas_interpret"):
+    if backend in ("pallas", "pallas_interpret") and excl_m is None:
         import os
 
         # Seed the kernel's per-lane cap with the sphere winner: clusters
@@ -163,7 +171,11 @@ def intersect_world(world: World, origins, directions, t_min,
         from ..accel.mesh import TriHit
         th = TriHit(t=t_m, tri_idx=idx_m, hit=t_m < BIG)
     else:
-        th = intersect_mesh(mesh, origins, directions, t_min, alive=alive)
+        # Triangle exclusion rides the XLA traversal only (the edge-aware
+        # config forces the xla intersector for mesh worlds; the clustered
+        # kernel has no per-lane exclusion operand yet).
+        th = intersect_mesh(mesh, origins, directions, t_min, alive=alive,
+                            exclude=excl_m)
     # Differentiable recompute of the winner's t (traversal is detached).
     t_d, ok_d = _tri_t_diff(mesh, th.tri_idx, origins, directions, t_min, BIG)
     t_tri = jnp.where(th.hit & ok_d, t_d, jax.lax.stop_gradient(th.t))

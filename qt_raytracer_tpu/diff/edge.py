@@ -38,9 +38,21 @@ radiance in the primal-zero autodiff form
 
 which is exactly 0.0 in the forward pass (images, oracle goldens and
 progressive accumulation are untouched) while its VJP contributes
-w · ΔL · ∂sd/∂θ. Scope: SPHERE silhouettes on PRIMARY rays (the term that
-dominates camera/object recovery); mesh silhouettes and secondary-bounce
-edges remain future work.
+w · ΔL · ∂sd/∂θ. Scope: PRIMARY-ray silhouettes of BOTH primitive
+families — spheres (g above) and mesh triangles, where the interior
+function is the barycentric edge margin
+
+    g_tri(ray, v0, e1, e2) = min(u, v, 1 − u − v)
+
+(positive strictly inside the winning triangle, zero exactly on its
+boundary). The same |∇_px g| normalization turns it into pixel units. The
+background re-trace excludes only the WINNING triangle, which makes the
+estimator self-selecting: at an interior (shared) edge the neighbor
+triangle catches the excluded ray, so L_fg − L_bg ≈ 0 and the term
+vanishes; at a true visibility boundary (object silhouette, or a convex
+crease where the winner flips between faces) the re-trace reveals the
+occluded geometry and the jump is exactly the discontinuity the detached
+estimator dropped. Secondary-bounce edges remain future work.
 
 No reference counterpart (the reference is forward-only).
 """
@@ -70,6 +82,23 @@ def _silhouette_g(origins, directions, centers, radii):
     along = vm.dot(oc, directions) * inv_d
     perp2 = jnp.maximum(vm.length_squared(oc) - along * along, 0.0)
     return radii * radii - perp2
+
+
+def _tri_interior_g(origins, directions, v0, e1, e2):
+    """Barycentric edge margin of the ray/triangle-plane intersection:
+    min(u, v, 1−u−v), positive strictly inside the (per-ray gathered)
+    winning triangle and 0 exactly on its boundary. Differentiable in the
+    ray (camera params via rays_of) AND the vertices (geometry recovery).
+    Same Möller-Trumbore u/v recipe as accel/traverse._tri_hit_one."""
+    p = jnp.cross(directions, e2)
+    det = jnp.sum(p * e1, axis=-1)
+    ok = jnp.abs(det) > 1e-12
+    inv_det = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
+    s = origins - v0
+    u = jnp.sum(s * p, axis=-1) * inv_det
+    q = jnp.cross(s, e1)
+    v = jnp.sum(q * directions, axis=-1) * inv_det
+    return jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
 
 
 def sample_radiance_edge_aware(scene, camera, cfg: RenderConfig,
@@ -131,6 +160,7 @@ def sample_radiance_edge_aware(scene, camera, cfg: RenderConfig,
             alive, cfg.t_min, interpret=interp)
         prim0 = h0f["idx"][:n]
         is_sph = (h0f["t"][:n] < BIG) & (h0f["ff"][:n] > 0)
+        is_tri = jnp.zeros_like(is_sph)
         widx = jnp.clip(prim0, 0, ns - 1)
         centers = scene.center[widx]              # differentiable gathers
         radii = scene.radius[widx]
@@ -146,14 +176,30 @@ def sample_radiance_edge_aware(scene, camera, cfg: RenderConfig,
         h0 = intersect_world(world, o_sg, d_sg, cfg.t_min, backend="xla")
         prim0 = h0.prim_idx
         is_sph = h0.hit & (h0.prim_idx < ns) & h0.front_face
-        widx = jnp.clip(h0.prim_idx, 0, ns - 1)
-        centers = world.spheres.center[widx]      # differentiable gathers
-        radii = world.spheres.radius[widx]
+        is_tri = h0.hit & (h0.prim_idx >= ns) & h0.front_face
+        if ns:
+            widx = jnp.clip(h0.prim_idx, 0, ns - 1)
+            centers = world.spheres.center[widx]  # differentiable gathers
+            radii = world.spheres.radius[widx]
 
-    # Signed distance to the winner's silhouette in pixel units.
+    if world.mesh is not None:
+        nt = world.mesh.num_triangles
+        tidx = jnp.clip(prim0 - ns, 0, nt - 1)
+        tv0 = world.mesh.v0[tidx]                 # differentiable gathers
+        te1 = world.mesh.e1[tidx]
+        te2 = world.mesh.e2[tidx]
+    is_tri_det = jax.lax.stop_gradient(is_tri)
+
+    # Signed distance to the winner's silhouette in pixel units (family-
+    # selected: sphere cone margin or triangle barycentric edge margin).
     def g_of(i_f, j_f):
         o, d = rays_of(i_f, j_f)
-        return _silhouette_g(o, d, centers, radii)
+        g = (_silhouette_g(o, d, centers, radii) if ns
+             else jnp.full(i_f.shape, -1.0))
+        if world.mesh is not None:
+            g = jnp.where(is_tri_det, _tri_interior_g(o, d, tv0, te1, te2),
+                          g)
+        return g
 
     g = g_of(i, j)
     _, gi = jax.jvp(lambda x: g_of(x, j), (i,), (jnp.ones_like(i),))
@@ -163,7 +209,8 @@ def sample_radiance_edge_aware(scene, camera, cfg: RenderConfig,
     sd_det = jax.lax.stop_gradient(sd)
 
     w_px = EDGE_KERNEL_PX
-    near_edge = is_sph & (sd_det > 0.0) & (sd_det <= w_px) & (grad_px > 1e-12)
+    near_edge = ((is_sph | is_tri) & (sd_det > 0.0) & (sd_det <= w_px)
+                 & (grad_px > 1e-12))
     w = jnp.where(near_edge, (2.0 / w_px) * (1.0 - sd_det / w_px), 0.0)
 
     # Background radiance: same rays/streams, winner excluded at bounce 0.

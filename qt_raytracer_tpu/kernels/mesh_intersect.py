@@ -125,6 +125,33 @@ def prep_mesh_clusters(mesh: TriangleMesh):
     return tri_planes, box_planes, centers, radii, k, k_pad
 
 
+def prep_row_boxes(mesh: TriangleMesh, p_pad: int):
+    """Per-128-tri-ROW AABBs for the rowgate visit variant: 6 flat [PR] f32
+    arrays (lo.xyz, hi.xyz), scalar-prefetched into SMEM so the kernel can
+    read one row's box with a dynamic index. Same epsilon padding as the
+    cluster boxes (conservative gating; padding rows never intersect)."""
+    p = mesh.v0.shape[0]
+
+    def pad_tri(x, fill):
+        return jnp.pad(x, ((0, p_pad - p), (0, 0)), constant_values=fill)
+
+    v0 = pad_tri(mesh.v0, 1.0e9)
+    e1 = pad_tri(mesh.e1, 0.0)
+    e2 = pad_tri(mesh.e2, 0.0)
+    pr = p_pad // LANE
+    va = v0.reshape(pr, LANE, 3)
+    vb = (v0 + e1).reshape(pr, LANE, 3)
+    vc = (v0 + e2).reshape(pr, LANE, 3)
+    lo = jnp.minimum(jnp.minimum(va.min(1), vb.min(1)), vc.min(1))  # [pr,3]
+    hi = jnp.maximum(jnp.maximum(va.max(1), vb.max(1)), vc.max(1))
+    span = jnp.max(jnp.max(mesh.v0, axis=0) - jnp.min(mesh.v0, axis=0))
+    eps = 1e-5 * jnp.maximum(span, 1e-3)
+    lo = lo - eps
+    hi = hi + eps
+    return tuple(lo[:, a] for a in range(3)) + \
+        tuple(hi[:, a] for a in range(3))
+
+
 def build_mt_features(mesh: TriangleMesh, p_pad: int):
     """Per-triangle bilinear-form factors for the MXU Möller-Trumbore.
 
@@ -168,9 +195,15 @@ def build_mt_features(mesh: TriangleMesh, p_pad: int):
     return fdet, f_u, f_v, f_t
 
 
+def _mesh_kernel_rowgate(rlx, rly, rlz, rhx, rhy, rhz, *args, **kw):
+    """Scalar-prefetch wrapper: the 6 SMEM row-box refs come first."""
+    _mesh_kernel(*args, row_boxes=(rlx, rly, rlz, rhx, rhy, rhz), **kw)
+
+
 def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                  t_min: float, num_clusters: int, num_tris: int,
-                 k_rows: int, mt_mode: str, visit_mode: str = VISIT_MODE):
+                 k_rows: int, mt_mode: str, visit_mode: str = VISIT_MODE,
+                 row_boxes=None):
     if mt_mode == "mxu":
         (fdet, f_u, f_v, f_t,
          blox, bloy, bloz, bhix, bhiy, bhiz,
@@ -347,12 +380,12 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                         hi_s = lo_s + SUBTILE_ROWS
                         _mt_slice(row_base, lo_s, hi_s)
 
-            def _mt_slice(row_base, lo_s, hi_s):
+            def _mt_slice(row_base, lo_s, hi_s, rows=CLUSTER_ROWS):
                 o_s = tuple(v[lo_s:hi_s, :] for v in o)         # (R,1)
                 d_s = tuple(v[lo_s:hi_s, :] for v in d)
                 t_best = tb_ref[lo_s:hi_s, :]                   # (R,1)
                 idx_best = ib_ref[lo_s:hi_s, :]
-                for sub in range(CLUSTER_ROWS):
+                for sub in range(rows):
                     row = row_base + sub
                     v0 = (v0x[pl.ds(row, 1), :], v0y[pl.ds(row, 1), :],
                           v0z[pl.ds(row, 1), :])                # (1, 128)
@@ -413,6 +446,37 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                     lo_s = s * SUBTILE_ROWS
                     _mt_slice(row_base, lo_s, lo_s + SUBTILE_ROWS)
 
+            def visit_rowgate(c):
+                """Cluster visit with a per-128-tri-ROW AABB pre-gate.
+
+                The cluster gate admits a whole CLUSTER_ROWS*128-tri group
+                when ANY lane's slab entry beats its cap; row boxes (from
+                SMEM scalar prefetch) are ~CLUSTER_ROWS x tighter, so rows
+                no lane can improve on are skipped before their (128,128)
+                Möller-Trumbore. Gate: same slack-padded conservative cap
+                as the 32-block gate (t_best only shrinks during the visit,
+                so a row that fails now can never pass later) — outputs
+                stay bitwise identical to the plain sweep (tested).
+                """
+                rlx, rly, rlz, rhx, rhy, rhz = row_boxes
+                row_base = c * CLUSTER_ROWS
+                for sub in range(CLUSTER_ROWS):
+                    row = row_base + sub
+                    enter = jnp.full((128, 1), t_min, jnp.float32)
+                    exit_ = jnp.full((128, 1), BIG, jnp.float32)
+                    for a, (blo, bhi) in enumerate((
+                            (rlx, rhx), (rly, rhy), (rlz, rhz))):
+                        t0 = (blo[row] - o[a]) * inv[a]       # (128, 1)
+                        t1 = (bhi[row] - o[a]) * inv[a]
+                        enter = jnp.maximum(enter, jnp.minimum(t0, t1))
+                        exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
+                    cap = jnp.minimum(tb_ref[...] * 1.0001 + 1e-4, 1.0e37)
+                    hit_row = (exit_ > enter) & (enter <= cap) & alive_col
+
+                    @pl.when(jnp.sum(hit_row.astype(jnp.int32)) > 0)
+                    def _(row=row):
+                        _mt_slice(row, 0, 128, rows=1)
+
             # Plain sweep in BVH-DFS order with popcount skipping.
             # MEASURED NOTE (v5e, 100k-tri terrain, 480x270 primary+bounce):
             # a front-to-back variant (per-group sorted cluster keys + capped
@@ -429,6 +493,8 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                 visit = visit_sliced
             elif visit_mode == "subtile":
                 visit = visit_subtile
+            elif visit_mode == "rowgate":
+                visit = visit_rowgate
             else:
                 visit = visit_vpu
 
@@ -767,6 +833,17 @@ def sort_keys(origins, directions, alive, lo, hi):
     return key
 
 
+def _scratch_shapes(k_pad):
+    return [
+        pltpu.VMEM((128, k_pad), jnp.float32),   # per-(ray,cluster) entry
+        pltpu.VMEM((k_pad, 1), jnp.int32),       # gate counts (lagged cap)
+        pltpu.VMEM((128, 1), jnp.float32),       # running t_best (col)
+        pltpu.VMEM((128, 1), jnp.int32),         # running idx_best
+        pltpu.VMEM((k_pad, 128 // SUBTILE_ROWS),
+                   jnp.int32),                   # per-slice gate counts
+    ]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("t_min", "interpret", "sort", "mt",
                                     "sort_mode", "visit"))
@@ -941,44 +1018,60 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
         feats = build_mt_features(mesh, k * CLUSTER_ROWS * LANE)
         tri_args = list(feats)
         tri_specs = [
-            pl.BlockSpec((f.shape[0], LANE), lambda i: (0, 0),
+            pl.BlockSpec((f.shape[0], LANE), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM) for f in feats]
     else:
         tri_args = list(tri_planes)
-        tri_specs = [pl.BlockSpec((pr, LANE), lambda i: (0, 0),
+        tri_specs = [pl.BlockSpec((pr, LANE), lambda i, *_: (0, 0),
                                   memory_space=pltpu.VMEM)] * 9
 
-    ray_spec = pl.BlockSpec((GROUPS, LANE), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((GROUPS, LANE), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    box_spec = pl.BlockSpec((kr, LANE), lambda i: (0, 0),
+    box_spec = pl.BlockSpec((kr, LANE), lambda i, *_: (0, 0),
                             memory_space=pltpu.VMEM)
 
+    if visit == "rowgate":
+        # Row boxes ride scalar prefetch (SMEM): dynamically indexable by
+        # the in-visit row id, which VMEM lane-dense layouts cannot be.
+        row_box_args = prep_row_boxes(mesh, k * CLUSTER_ROWS * LANE)
+        kern = functools.partial(_mesh_kernel_rowgate, t_min=t_min,
+                                 num_clusters=k,
+                                 num_tris=mesh.num_triangles, k_rows=kr,
+                                 mt_mode=mt, visit_mode=visit)
+        grid_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(nb,),
+            in_specs=[ray_spec] * 8 + tri_specs + [box_spec] * 6,
+            out_specs=(ray_spec, ray_spec),
+            scratch_shapes=_scratch_shapes(k_pad),
+        ))
+        extra_args = row_box_args
+    else:
+        kern = functools.partial(_mesh_kernel, t_min=t_min, num_clusters=k,
+                                 num_tris=mesh.num_triangles, k_rows=kr,
+                                 mt_mode=mt, visit_mode=visit)
+        grid_kw = dict(
+            grid=(nb,),
+            in_specs=[ray_spec] * 8 + tri_specs + [box_spec] * 6,
+            out_specs=(ray_spec, ray_spec),
+            scratch_shapes=_scratch_shapes(k_pad),
+        )
+        extra_args = ()
+
     t, idx = pl.pallas_call(
-        functools.partial(_mesh_kernel, t_min=t_min, num_clusters=k,
-                          num_tris=mesh.num_triangles, k_rows=kr,
-                          mt_mode=mt, visit_mode=visit),
-        grid=(nb,),
-        in_specs=[ray_spec] * 8 + tri_specs + [box_spec] * 6,
-        out_specs=(ray_spec, ray_spec),
+        kern,
+        **grid_kw,
         out_shape=(
             jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.float32),
             jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((128, k_pad), jnp.float32),   # per-(ray,cluster) entry
-            pltpu.VMEM((k_pad, 1), jnp.int32),       # gate counts (lagged cap)
-            pltpu.VMEM((128, 1), jnp.float32),       # running t_best (col)
-            pltpu.VMEM((128, 1), jnp.int32),         # running idx_best
-            pltpu.VMEM((k_pad, 128 // SUBTILE_ROWS),
-                       jnp.int32),                   # per-slice gate counts
-        ],
         cost_estimate=pl.CostEstimate(
             flops=n_pad * (k_pad * 20 + 45 * 4 * LANE),
             bytes_accessed=n_pad * 4 * 8 + pr * LANE * 9 * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*rays, *tri_args, *box_planes)
+    )(*extra_args, *rays, *tri_args, *box_planes)
 
     t = jax.lax.stop_gradient(t.reshape(-1)[:n])
     idx = jax.lax.stop_gradient(idx.reshape(-1)[:n])

@@ -62,14 +62,17 @@ def test_sort_bitwise_on_live_lanes(setup, mt, mode):
     np.testing.assert_array_equal(i0[alive], i1[alive])
 
 
-def test_subtile_visit_bitwise_equals_full(setup):
-    # The (8,128) sub-tiled visit must reproduce the (128,128) visit
-    # BITWISE (same expression tree per (ray,tri), same 128-lane argmin).
+@pytest.mark.parametrize("variant", ["subtile", "sliced", "rowgate"])
+def test_visit_variants_bitwise_equal_full(setup, variant):
+    # Every visit variant (sub-tiled MT, gate-sliced MT, per-row AABB
+    # pre-gate) must reproduce the (128,128) visit BITWISE: same expression
+    # tree per (ray,tri), same 128-lane argmin, gates only SKIP rows no
+    # lane could win.
     mesh, o, d, _ = setup
     t0, i0 = mesh_search_pallas(mesh, o, d, 1e-3, interpret=True,
                                 visit="full")
     t1, i1 = mesh_search_pallas(mesh, o, d, 1e-3, interpret=True,
-                                visit="subtile")
+                                visit=variant)
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
 
