@@ -12,12 +12,17 @@ from __future__ import annotations
 
 import argparse
 import functools
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="std", choices=["std", "flat"])
+    ap.add_argument("--modes", nargs="*", default=["flat", "std"],
+                    choices=["std", "flat"])
     ap.add_argument("--depths", nargs="*", type=int, default=[1, 5])
     ap.add_argument("--n", type=int, default=414720)
     args = ap.parse_args()
@@ -41,24 +46,25 @@ def main() -> None:
     keys = sampling.pixel_states(k, jnp.arange(n, dtype=jnp.uint32), "hash")
     skeys = sampling.sample_keys(keys, 0)
 
-    @functools.partial(jax.jit, static_argnames=("depth",))
-    def run(o, d, skeys, depth):
-        if args.mode == "flat":
+    @functools.partial(jax.jit, static_argnames=("mode", "depth"))
+    def run(o, d, skeys, mode, depth):
+        if mode == "flat":
             return jnp.sum(trace_flat_world(world, o, d, skeys, depth))
         return jnp.sum(trace(world, o, d, skeys, depth,
                              intersector="pallas"))
 
-    for depth in args.depths:
-        t0 = time.time()
-        float(run(o, d, skeys, depth))
-        first = time.time() - t0
-        ts = []
-        for _ in range(3):
+    for mode in args.modes:
+        for depth in args.depths:
             t0 = time.time()
-            float(run(o, d, skeys, depth))
-            ts.append(time.time() - t0)
-        print(f"{args.mode}/{VISIT_MODE} depth={depth}: first={first:.1f}s "
-              f"best={min(ts)*1e3:.0f}ms", flush=True)
+            float(run(o, d, skeys, mode, depth))
+            first = time.time() - t0
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                float(run(o, d, skeys, mode, depth))
+                ts.append(time.time() - t0)
+            print(f"{mode}/{VISIT_MODE} depth={depth}: first={first:.1f}s "
+                  f"best={min(ts)*1e3:.0f}ms", flush=True)
 
 
 if __name__ == "__main__":

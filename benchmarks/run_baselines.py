@@ -245,10 +245,13 @@ def main():
     ap.add_argument("--oracle-full", action="store_true",
                     help="config 1: full-size f64 validation against the "
                          "vectorized oracle (O(30s) numpy)")
+    ap.add_argument("--steps", type=int, default=60,
+                    help="config 5: optimizer steps (CI smoke: ~6)")
     args = ap.parse_args()
     global ORACLE_FULL
     ORACLE_FULL = args.oracle_full
-    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    fns = {1: config1, 2: config2, 3: config3, 4: config4,
+           5: lambda s: config5(s, steps=args.steps)}
     for c in args.configs:
         fns[c](args.scale)
 

