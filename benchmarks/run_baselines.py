@@ -181,8 +181,13 @@ def config5(scale, steps=60):
     base_cam = scenes.cornell_box_camera(cfg_train.aspect_ratio)
     true_cams = orbit_cameras(base_cam, [(0.0, 0.0, 0.0), (0.5, 0.0, 0.0),
                                          (-0.5, 0.1, 0.0), (0.0, 0.3, -0.3)])
+    t_targets = time.perf_counter()
     targets = render_targets(true_scene, true_cams, cfg_target, seed=7,
                              spp_per_call=8)
+    jax.block_until_ready(targets)
+    print(f"# config5 targets rendered ({len(true_cams)} views, "
+          f"{cfg_target.spp} spp): {time.perf_counter() - t_targets:.0f}s",
+          file=sys.stderr, flush=True)
 
     # Perturbations: ball albedo, light radiance, per-view rigid pose.
     wrong = dc.replace(
@@ -197,7 +202,7 @@ def config5(scale, steps=60):
         mesh = make_mesh(sp=1)          # all devices on the pixel axis
     opt = optax.multi_transform(
         {"scene": optax.adam(3e-2), "emission": optax.adam(0.6),
-         "camera": optax.adam(1.5e-2)},
+         "camera": optax.adam(2.5e-2)},
         {"scene": {"albedo": "scene", "emission": "emission"},
          "camera": {"translate": "camera"}})
     init_state, step_fn, rebuild_scene, _ = make_multiview_train_step(
@@ -210,11 +215,17 @@ def config5(scale, steps=60):
     # that biases the emitter DOWN (see tests/test_multiview.py note).
     key = jax.random.PRNGKey(7)
     state = init_state()
+    t_c = time.perf_counter()
     state, _ = step_fn(state, targets, key)  # compile
     jax.block_until_ready(state)
+    print(f"# config5 step compiled: {time.perf_counter() - t_c:.0f}s",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for it in range(steps):
         state, loss = step_fn(state, targets, key)
+        if (it + 1) % 10 == 0:
+            print(f"# config5 step {it + 1}/{steps} "
+                  f"loss={float(loss):.5f}", file=sys.stderr, flush=True)
     jax.block_until_ready(state)
     dt = (time.perf_counter() - t0) / steps
 

@@ -9,10 +9,13 @@ silhouette gradients (diff/edge.py), the gauge-free pose parameterization
 optimization over M cameras of a single scene.
 
 Design notes (TPU-first):
-  - The M per-view renders are unrolled inside ONE jitted step: each view is
-    an independent render_linear (chunked into 1024-ray tiles), so XLA
-    pipelines them back-to-back on-device; gradients of the shared scene
-    parameters accumulate across views automatically by autodiff.
+  - The M per-view renders run as ONE lax.scan over the view axis inside a
+    single jitted step: camera pytrees are stacked into [M, ...] leaves and
+    the body renders/losses one view, so the view trace is COMPILED ONCE
+    regardless of M (the unrolled form compiled M copies of the full
+    render graph — measured >10 min of remote compile at M=4 960x540
+    edge-aware, vs ~2 min scanned); gradients of the shared scene
+    parameters accumulate across scan iterations automatically by autodiff.
   - Per-view camera pose uses the same rigid-translation parameterization as
     make_train_step(train_camera="pose"): a [M, 3] translate table applied
     to origin AND lower_left_corner — gauge-free (no origin/corner
@@ -110,14 +113,33 @@ def make_multiview_train_step(
         return tuple(translate_camera(cam, cp["translate"][v])
                      for v, cam in enumerate(cameras))
 
+    # Stacked [M, ...] camera leaves: the scan body un-stacks one view per
+    # iteration, so the render graph compiles once for any M. The body is
+    # rematerialized (jax.checkpoint): without it the scan's backward saves
+    # every view's per-bounce residuals simultaneously (measured OOM at
+    # M=4 960x540 edge-aware: ~20 x 63.5 MB HLO temps); with it the
+    # backward recomputes one view's forward at a time.
+    cams_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
+
+    @jax.checkpoint
+    def view_loss(sc, cam_v, tgt_v, tr_v, v, key):
+        cam = translate_camera(cam_v, tr_v)
+        return image_loss(sc, cam, cfg, jax.random.fold_in(key, v),
+                          tgt_v, mesh)
+
     def loss_fn(p, targets, key):
         sc = rebuild_scene(p["scene"])
-        cams = rebuild_cameras(p)
-        total = 0.0
-        for v, cam in enumerate(cams):
-            total = total + image_loss(sc, cam, cfg,
-                                       jax.random.fold_in(key, v),
-                                       targets[v], mesh)
+        cp = p.get("camera")
+        tr = (cp["translate"] if cp is not None
+              else jnp.zeros((m, 3), jnp.float32))
+
+        def body(acc, xs):
+            cam_v, tgt_v, tr_v, v = xs
+            return acc + view_loss(sc, cam_v, tgt_v, tr_v, v, key), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.float32(0.0),
+            (cams_stacked, targets, tr, jnp.arange(m)))
         return total / m
 
     def init_state():
