@@ -56,7 +56,12 @@ def main() -> None:
             train_camera="pose", edge_aware=edge)
         state = init_state()
         t0 = time.perf_counter()
-        state, loss = step_fn(state, target, key)
+        try:
+            state, loss = step_fn(state, target, key)
+        except Exception as e:  # noqa: BLE001 — report OOM/compile fails
+            msg = str(e).splitlines()[0][:120]
+            print(f"{mode:10s}: FAILED ({msg})", flush=True)
+            continue
         jax.block_until_ready(state.params)
         first = time.perf_counter() - t0
         ts = []

@@ -14,6 +14,7 @@ import dataclasses as dc
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qt_raytracer_tpu import RenderConfig
 from qt_raytracer_tpu.accel.mesh import MeshBuilder
@@ -25,6 +26,18 @@ from qt_raytracer_tpu.diff.inverse import mean_image
 CFG = RenderConfig(width=64, height=48, spp=16, max_depth=2)
 CFG_EDGE = dc.replace(CFG, edge_aware=True)
 KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_caches():
+    # The edge-aware World-gradient graphs here are the largest XLA:CPU
+    # compiles in the suite; with ~40 modules of live executables already
+    # JIT-loaded, LLVM segfaults/aborts INSIDE backend_compile (observed
+    # deterministically at suite position ~41%, never standalone).
+    # Dropping the accumulated executables first keeps the suite green at
+    # the cost of recompiling this module's shared helpers.
+    jax.clear_caches()
+    yield
 
 
 def _quad_world(dx: float = 0.0):
