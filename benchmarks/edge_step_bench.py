@@ -46,18 +46,37 @@ def main() -> None:
                        albedo=scene.albedo.at[0].set(
                            jnp.array([0.3, 0.5, 0.7])))
 
+    mesh_world = mesh_cam = mesh_target = None
+
     for mode in args.modes:
         cfg = base
         if mode == "edge_xla":
             cfg = dc.replace(base, intersector="xla")
-        edge = mode.startswith("edge")
-        init_state, step_fn, _, _ = make_train_step(
-            wrong, cam, cfg, optax.adam(2e-2), trainable=("albedo",),
-            train_camera="pose", edge_aware=edge)
+        edge = mode.startswith("edge") or mode.startswith("mesh_edge")
+        if mode.startswith("mesh"):
+            # TRUE Cornell box (config-2 geometry): pose recovery with the
+            # kernel-backed mesh edge path (per-lane triangle exclusion).
+            from qt_raytracer_tpu.models import meshes
+
+            if mesh_world is None:
+                mesh_world = meshes.cornell_box_world()
+                mesh_cam = meshes.cornell_box_mesh_camera(base.aspect_ratio)
+                mcfg = dc.replace(base, nee=True)
+                mesh_target = mean_image(mesh_world, mesh_cam, mcfg, key)
+            init_state, step_fn, _, _ = make_train_step(
+                mesh_world, mesh_cam, dc.replace(base, nee=True),
+                optax.adam(2e-2), trainable=(), train_camera="pose",
+                edge_aware=edge)
+            target_use = mesh_target
+        else:
+            init_state, step_fn, _, _ = make_train_step(
+                wrong, cam, cfg, optax.adam(2e-2), trainable=("albedo",),
+                train_camera="pose", edge_aware=edge)
+            target_use = target
         state = init_state()
         t0 = time.perf_counter()
         try:
-            state, loss = step_fn(state, target, key)
+            state, loss = step_fn(state, target_use, key)
         except Exception as e:  # noqa: BLE001 — report OOM/compile fails
             msg = str(e).splitlines()[0][:120]
             print(f"{mode:10s}: FAILED ({msg})", flush=True)
@@ -67,7 +86,7 @@ def main() -> None:
         ts = []
         for it in range(args.iters):
             t0 = time.perf_counter()
-            state, loss = step_fn(state, target,
+            state, loss = step_fn(state, target_use,
                                   jax.random.fold_in(key, it))
             jax.block_until_ready(state.params)
             ts.append(time.perf_counter() - t0)

@@ -143,14 +143,13 @@ def intersect_spheres(
         prim_idx = jnp.argmin(ts, axis=1).astype(jnp.int32)           # [N]
         t_coarse = jnp.take_along_axis(ts, prim_idx[:, None], axis=1)[:, 0]
     else:
-        if exclude is not None:
-            raise ValueError("per-ray exclusion requires backend='xla' "
-                             "(edge-aware gradient path)")
         from ..kernels.sphere_intersect import sphere_search_pallas
 
         t_coarse, prim_idx = sphere_search_pallas(
             scene, origins, directions, float(t_min),
-            interpret=(backend == "pallas_interpret"), alive=alive)
+            interpret=(backend == "pallas_interpret"), alive=alive,
+            exclude=None if exclude is None
+            else jax.lax.stop_gradient(exclude))
     hit = t_coarse < BIG
 
     # ONE packed row-gather for everything the caller needs about the winner

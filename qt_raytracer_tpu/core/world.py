@@ -147,7 +147,7 @@ def intersect_world(world: World, origins, directions, t_min,
     if mesh is None:
         return hs
 
-    if backend in ("pallas", "pallas_interpret") and excl_m is None:
+    if backend in ("pallas", "pallas_interpret"):
         import os
 
         # Seed the kernel's per-lane cap with the sphere winner: clusters
@@ -164,16 +164,19 @@ def intersect_world(world: World, origins, directions, t_min,
             from ..kernels.mesh_pairs import mesh_search_pairs as _search
         else:
             from ..kernels.mesh_intersect import mesh_search_pallas as _search
+        kw = {}
+        if excl_m is not None:
+            # Per-lane triangle exclusion (edge-aware background re-trace);
+            # the pairs kernel predates the operand.
+            kw["exclude"] = excl_m
+            from ..kernels.mesh_intersect import mesh_search_pallas as _search
         t_m, idx_m = _search(
             mesh, origins, directions, float(t_min),
             interpret=(backend == "pallas_interpret"), alive=alive,
-            t_cap=jnp.where(hs.hit, jax.lax.stop_gradient(hs.t), BIG))
+            t_cap=jnp.where(hs.hit, jax.lax.stop_gradient(hs.t), BIG), **kw)
         from ..accel.mesh import TriHit
         th = TriHit(t=t_m, tri_idx=idx_m, hit=t_m < BIG)
     else:
-        # Triangle exclusion rides the XLA traversal only (the edge-aware
-        # config forces the xla intersector for mesh worlds; the clustered
-        # kernel has no per-lane exclusion operand yet).
         th = intersect_mesh(mesh, origins, directions, t_min, alive=alive,
                             exclude=excl_m)
     # Differentiable recompute of the winner's t (traversal is detached).

@@ -165,15 +165,23 @@ def sample_radiance_edge_aware(scene, camera, cfg: RenderConfig,
         centers = scene.center[widx]              # differentiable gathers
         radii = scene.radius[widx]
     else:
-        # Full radiance — the ordinary estimator (xla intersector: the
-        # exclusion re-trace below must agree with this trace's bounce-0
-        # winners).
+        # General path (mesh worlds / non-fused intersectors). ALL THREE
+        # traces must share one intersector so bounce-0 winner selection is
+        # self-consistent: on TPU that is the Pallas kernel pair (both now
+        # carry per-lane exclusion operands), portable fallback xla. The
+        # xla [N,S] sweep saved as backward residuals OOMs past ~512^2
+        # (docs/PERFORMANCE.md edge-step table), so the kernel path is
+        # what makes mesh-world edge-aware training scale.
+        wb = "xla"
+        if resolved.startswith(("pallas", "fused")):
+            wb = ("pallas_interpret" if resolved.endswith("interpret")
+                  else "pallas")
         l_full = trace(world, origins, directions, samp_keys, cfg.max_depth,
-                       cfg.t_min, intersector="xla", nee=cfg.nee,
+                       cfg.t_min, intersector=wb, nee=cfg.nee,
                        rr_start=cfg.rr_start)
 
         # Bounce-0 winner (detached: selection only).
-        h0 = intersect_world(world, o_sg, d_sg, cfg.t_min, backend="xla")
+        h0 = intersect_world(world, o_sg, d_sg, cfg.t_min, backend=wb)
         prim0 = h0.prim_idx
         is_sph = h0.hit & (h0.prim_idx < ns) & h0.front_face
         is_tri = h0.hit & (h0.prim_idx >= ns) & h0.front_face
@@ -222,7 +230,7 @@ def sample_radiance_edge_aware(scene, camera, cfg: RenderConfig,
                           exclude_prim0=excl)
     else:
         l_bg = trace(world, o_sg, d_sg, samp_keys,
-                     cfg.max_depth, cfg.t_min, intersector="xla",
+                     cfg.max_depth, cfg.t_min, intersector=wb,
                      nee=cfg.nee, rr_start=cfg.rr_start, exclude_prim0=excl)
 
     delta = jax.lax.stop_gradient(l_full - l_bg)

@@ -203,7 +203,13 @@ def _mesh_kernel_rowgate(rlx, rly, rlz, rhx, rhy, rhz, *args, **kw):
 def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                  t_min: float, num_clusters: int, num_tris: int,
                  k_rows: int, mt_mode: str, visit_mode: str = VISIT_MODE,
-                 row_boxes=None):
+                 row_boxes=None, has_excl: bool = False):
+    # Optional per-lane excluded-triangle id (-1 = none): one extra ray
+    # operand, compiled in only when present (the edge-aware background
+    # re-trace for mesh worlds, diff/edge.py).
+    excl_ref = None
+    if has_excl:
+        excl_ref, rest = rest[0], rest[1:]
     if mt_mode == "mxu":
         (fdet, f_u, f_v, f_t,
          blox, bloy, bloz, bhix, bhiy, bhiz,
@@ -224,6 +230,8 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
             o = tuple(tcol(c[grp:grp+1, :]) for c in (ox, oy, oz))  # (128,1)
             d = tuple(tcol(c[grp:grp+1, :]) for c in (dx, dy, dz))
             alive_col = tcol(alive[grp:grp+1, :]) != 0              # (128,1)
+            excl_col = (tcol(excl_ref[grp:grp+1, :])
+                        if excl_ref is not None else None)          # (128,1)
             inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-30,
                                         jnp.where(c < 0, -1e-30, 1e-30), c)
                         for c in d)
@@ -296,10 +304,12 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                     t = tt * inv_det
                     ok = (ok_det & (u >= 0.0) & (v >= 0.0)
                           & (u + v <= 1.0) & (t >= t_min) & (t < t_best))
+                    lanes = jax.lax.broadcasted_iota(jnp.int32, ok.shape, 1)
+                    gid = row * LANE + lanes
+                    if excl_col is not None:
+                        ok = ok & (gid != excl_col)
                     tcand = jnp.where(ok, t, BIG)
                     tmin_c = jnp.min(tcand, axis=1, keepdims=True)
-                    lanes = jax.lax.broadcasted_iota(jnp.int32, tcand.shape, 1)
-                    gid = row * LANE + lanes
                     idx_c = jnp.min(
                         jnp.where(tcand == tmin_c, gid, num_tris),
                         axis=1, keepdims=True)
@@ -346,10 +356,12 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                     t = dot3(qv, e2) * inv_det
                     ok = (ok_det & (u >= 0.0) & (v >= 0.0)
                           & (u + v <= 1.0) & (t >= t_min) & (t < t_best))
+                    lanes = jax.lax.broadcasted_iota(jnp.int32, ok.shape, 1)
+                    gid = row * LANE + lanes
+                    if excl_col is not None:
+                        ok = ok & (gid != excl_col)
                     tcand = jnp.where(ok, t, BIG)
                     tmin_c = jnp.min(tcand, axis=1, keepdims=True)
-                    lanes = jax.lax.broadcasted_iota(jnp.int32, tcand.shape, 1)
-                    gid = row * LANE + lanes
                     idx_c = jnp.min(
                         jnp.where(tcand == tmin_c, gid, num_tris),
                         axis=1, keepdims=True)
@@ -415,11 +427,13 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                     t = dot3(qv, e2) * inv_det
                     ok = (ok_det & (u >= 0.0) & (v >= 0.0)
                           & (u + v <= 1.0) & (t >= t_min) & (t < t_best))
+                    lanes = jax.lax.broadcasted_iota(
+                        jnp.int32, ok.shape, 1)
+                    gid = row * LANE + lanes
+                    if excl_col is not None:
+                        ok = ok & (gid != excl_col[lo_s:hi_s, :])
                     tcand = jnp.where(ok, t, BIG)
                     tmin_c = jnp.min(tcand, axis=1, keepdims=True)
-                    lanes = jax.lax.broadcasted_iota(
-                        jnp.int32, tcand.shape, 1)
-                    gid = row * LANE + lanes
                     idx_c = jnp.min(
                         jnp.where(tcand == tmin_c, gid, num_tris),
                         axis=1, keepdims=True)
@@ -745,9 +759,15 @@ def _scratch_shapes(k_pad):
 def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
                        t_min: float, interpret: bool = False, alive=None,
                        sort: bool = True, mt: str = MT_MODE, t_cap=None,
-                       sort_mode: str = SORT_MODE, visit: str = VISIT_MODE):
+                       sort_mode: str = SORT_MODE, visit: str = VISIT_MODE,
+                       exclude=None):
     """Closest-hit over the mesh: (t [N] f32 BIG=miss, tri_idx [N] i32),
     detached. tri_idx refers to the BVH-reordered triangle arrays.
+
+    exclude: optional [N] i32 per-lane excluded triangle id (-1 = none),
+    masked out of every visit's accept test — the edge-aware background
+    re-trace for mesh worlds (diff/edge.py). One extra ray operand,
+    compiled in only when present.
 
     sort=True reorders the wavefront by sort_keys before the kernel and
     scatters results back — per-ray outputs are BITWISE identical for LIVE
@@ -821,6 +841,8 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
             alive = jax.lax.stop_gradient(alive)[perm]
         if t_cap is not None:
             t_cap = jax.lax.stop_gradient(t_cap)[perm]
+        if exclude is not None:
+            exclude = jax.lax.stop_gradient(exclude)[perm]
 
     tile = GROUPS * LANE
     n_pad = max(-(-n // tile) * tile, tile)
@@ -844,6 +866,11 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
                            (0, n_pad - n), constant_values=BIG
                            ).reshape(nb * GROUPS, LANE)
     rays.append(tcap_arr)
+    has_excl = exclude is not None
+    if has_excl:
+        rays.append(jnp.pad(
+            jax.lax.stop_gradient(exclude).astype(jnp.int32), (0, n_pad - n),
+            constant_values=-1).reshape(nb * GROUPS, LANE))
 
     tri_planes, box_planes, centers, radii, k, k_pad = \
         prep_mesh_clusters(mesh)
@@ -873,11 +900,12 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
         kern = functools.partial(_mesh_kernel_rowgate, t_min=t_min,
                                  num_clusters=k,
                                  num_tris=mesh.num_triangles, k_rows=kr,
-                                 mt_mode=mt, visit_mode=visit)
+                                 mt_mode=mt, visit_mode=visit,
+                                 has_excl=has_excl)
         grid_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             grid=(nb,),
-            in_specs=[ray_spec] * 8 + tri_specs + [box_spec] * 6,
+            in_specs=[ray_spec] * len(rays) + tri_specs + [box_spec] * 6,
             out_specs=(ray_spec, ray_spec),
             scratch_shapes=_scratch_shapes(k_pad),
         ))
@@ -885,10 +913,11 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
     else:
         kern = functools.partial(_mesh_kernel, t_min=t_min, num_clusters=k,
                                  num_tris=mesh.num_triangles, k_rows=kr,
-                                 mt_mode=mt, visit_mode=visit)
+                                 mt_mode=mt, visit_mode=visit,
+                                 has_excl=has_excl)
         grid_kw = dict(
             grid=(nb,),
-            in_specs=[ray_spec] * 8 + tri_specs + [box_spec] * 6,
+            in_specs=[ray_spec] * len(rays) + tri_specs + [box_spec] * 6,
             out_specs=(ray_spec, ray_spec),
             scratch_shapes=_scratch_shapes(k_pad),
         )

@@ -44,12 +44,18 @@ CHUNK_S = 64      # spheres per cluster chunk
 MIN_CHUNKS_FOR_CULLING = 16
 
 
-def _search_kernel_monolithic(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz,
-                              c2r2, t_out, idx_out, tcand_ref, tb_ref,
+def _search_kernel_monolithic(ox, oy, oz, dx, dy, dz, alive, excl, cx, cy,
+                              cz, c2r2, t_out, idx_out, tcand_ref, tb_ref,
                               ib_ref, *, t_min: float, num_spheres: int):
-    """One (S, 128) sweep per ray row — fastest for scenes up to ~1k spheres."""
+    """One (S, 128) sweep per ray row — fastest for scenes up to ~1k spheres.
+
+    excl (None or (8,128) i32 ref): per-lane excluded sphere id (-1 = none),
+    masked out of the sweep before the min-reduce — the edge-aware
+    background re-trace (diff/edge.py). Compiled in only when an exclusion
+    operand exists (the plain instruction stream is untouched)."""
     c_x, c_y, c_z = cx[...], cy[...], cz[...]          # (S, 1)
     c2 = c2r2[...]
+    s_rows = c_x.shape[0]
 
     for r in range(SUBLANE):
         row_alive = jnp.sum(alive[r:r+1, :]) > 0
@@ -76,6 +82,10 @@ def _search_kernel_monolithic(ox, oy, oz, dx, dy, dz, alive, cx, cy, cz,
             far_ok = (far >= t_min) & (far <= BIG)
             root = jnp.where(near_ok, near, far)
             valid = (disc >= 0.0) & (near_ok | far_ok)
+            if excl is not None:
+                srows = jax.lax.broadcasted_iota(
+                    jnp.int32, (s_rows, RAY_BLOCK), 0)
+                valid = valid & (srows != excl[r:r+1, :])
             # Scratch materialization: see clustered kernel comment.
             tcand_ref[...] = jnp.where(valid, root, BIG)
             tcand = tcand_ref[...]
@@ -226,11 +236,16 @@ def prep_spheres(scene: SphereScene):
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
 def sphere_search_pallas(scene: SphereScene, origins, directions,
-                         t_min: float, interpret: bool = False, alive=None):
+                         t_min: float, interpret: bool = False, alive=None,
+                         exclude=None):
     """Closest-hit search: returns (t [N] f32 with BIG=miss, idx [N] i32).
 
     alive: optional [N] bool — dead rays are guaranteed to return miss, and
     fully-dead 128-ray rows skip the search (wavefront occupancy win).
+
+    exclude: optional [N] i32 per-lane excluded sphere id (-1 = none) —
+    the edge-aware background re-trace. Supported on the monolithic sweep
+    only (scenes under MIN_CHUNKS_FOR_CULLING*CHUNK_S spheres).
 
     Outputs are detached (stop_gradient) — differentiable quantities must be
     re-derived from idx by the caller.
@@ -260,6 +275,10 @@ def sphere_search_pallas(scene: SphereScene, origins, directions,
             jax.lax.stop_gradient(alive).astype(jnp.int32), (0, n_pad - n)
         ).reshape(nb * SUBLANE, RAY_BLOCK)
     rays.append(alive_arr)
+    if exclude is not None:
+        rays.append(jnp.pad(
+            jax.lax.stop_gradient(exclude).astype(jnp.int32), (0, n_pad - n),
+            constant_values=-1).reshape(nb * SUBLANE, RAY_BLOCK))
     (cx, cy, cz, c2r2), boxes, k = prep_spheres(scene)
     s_pad = cx.shape[0]
     k_pad = boxes[0].shape[0]
@@ -273,6 +292,9 @@ def sphere_search_pallas(scene: SphereScene, origins, directions,
 
     clustered = k >= MIN_CHUNKS_FOR_CULLING
     if clustered:
+        if exclude is not None:
+            raise ValueError("per-lane exclusion is not implemented for "
+                             "the clustered (S >= 1024) sphere sweep")
         kernel = functools.partial(_search_kernel, t_min=t_min,
                                    num_spheres=scene.num_spheres,
                                    num_chunks=k)
@@ -280,9 +302,16 @@ def sphere_search_pallas(scene: SphereScene, origins, directions,
         inputs = (*rays, cx, cy, cz, c2r2, *boxes)
         cand_rows = CHUNK_S
     else:
-        kernel = functools.partial(_search_kernel_monolithic, t_min=t_min,
-                                   num_spheres=scene.num_spheres)
-        in_specs = [ray_spec] * 7 + [sphere_spec] * 4
+        if exclude is None:
+            def kernel(*refs):
+                _search_kernel_monolithic(
+                    *refs[:7], None, *refs[7:], t_min=t_min,
+                    num_spheres=scene.num_spheres)
+        else:
+            kernel = functools.partial(
+                _search_kernel_monolithic, t_min=t_min,
+                num_spheres=scene.num_spheres)
+        in_specs = [ray_spec] * len(rays) + [sphere_spec] * 4
         inputs = (*rays, cx, cy, cz, c2r2)
         cand_rows = s_pad
 

@@ -38,6 +38,24 @@ def test_pallas_search_matches_xla_search():
     assert idx_match[hit_x].mean() > 0.999
 
 
+def test_pallas_search_exclusion_matches_xla():
+    # Per-lane sphere exclusion (edge-aware background re-trace): excluding
+    # each ray's own winner must reveal the second-closest hit with the
+    # same semantics as the xla [N,S] mask, and the excluded id never wins.
+    scene = scenes.random_scene(seed=5, pad_to=128)
+    o, d = _random_rays(333, key=0)
+    hx0 = intersect_spheres(scene, o, d, 1e-3, backend="xla")
+    excl = jnp.where(hx0.hit, hx0.prim_idx, -1)
+    hx = intersect_spheres(scene, o, d, 1e-3, backend="xla", exclude=excl)
+    t_p, i_p = sphere_search_pallas(scene, o, d, 1e-3, interpret=True,
+                                    exclude=excl)
+    t_p, i_p = np.asarray(t_p), np.asarray(i_p)
+    hit_p = t_p < BIG
+    np.testing.assert_array_equal(np.asarray(hx.hit), hit_p)
+    assert (np.asarray(hx.prim_idx) == i_p)[hit_p].mean() > 0.999
+    assert not np.any(hit_p & (i_p == np.asarray(excl)))
+
+
 def test_pallas_full_render_matches_xla():
     cfg_x = RenderConfig(width=16, height=12, spp=2, max_depth=4,
                          intersector="xla")

@@ -121,6 +121,32 @@ def test_mesh_translation_gradient_matches_fd():
     np.testing.assert_allclose(g_edge, fd, rtol=0.3)
 
 
+def test_mesh_edge_gradient_on_kernel_path():
+    # The kernel-backed edge path for mesh worlds (pallas selection with
+    # per-lane triangle/sphere exclusion — what TPU runs; the xla [N,S]
+    # sweep OOMs past ~512^2): FD-vs-autodiff of the SAME backend on the
+    # quad's projected-size functional, small size (interpret kernels).
+    cfg = dc.replace(CFG, width=40, height=32, spp=4,
+                     intersector="pallas_interpret")
+    cfg_edge = dc.replace(cfg, edge_aware=True)
+    cam = _camera()
+
+    def loss(dz, c):
+        world = _quad_world()
+        mesh = world.mesh
+        delta = jnp.array([0.0, 0.0, dz])
+        mesh = dc.replace(mesh, v0=mesh.v0 + delta,
+                          bvh_min=mesh.bvh_min + delta,
+                          bvh_max=mesh.bvh_max + delta)
+        return _mean_rad(dc.replace(world, mesh=mesh), cam, c)
+
+    eps = 5e-2
+    fd = (float(loss(eps, cfg)) - float(loss(-eps, cfg))) / (2 * eps)
+    g_edge = float(jax.grad(lambda d: loss(d, cfg_edge))(0.0))
+    assert np.sign(g_edge) == np.sign(fd)
+    np.testing.assert_allclose(g_edge, fd, rtol=0.5)
+
+
 def test_camera_pose_recovery_cornell_mesh():
     # VERDICT r2 item 5 done-criterion: camera-pose recovery in the TRUE
     # Cornell box (mesh walls + boxes): a perturbed camera converges back

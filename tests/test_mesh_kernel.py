@@ -98,6 +98,28 @@ def test_first_crossed_cluster_matches_xla(setup):
     np.testing.assert_array_equal(c1, ref)
 
 
+def test_exclusion_matches_xla_traversal(setup):
+    # Per-lane triangle exclusion (the mesh-silhouette background re-trace):
+    # excluding each ray's own winner must reveal the SECOND hit, matching
+    # the XLA traversal's exclusion semantics (same measure-zero tie
+    # tolerance as the plain comparison), and the excluded id must never
+    # win.
+    mesh, o, d, ref = setup
+    excl = jnp.where(ref.hit, ref.tri_idx, -1)
+    t1, i1 = mesh_search_pallas(mesh, o, d, 1e-3, interpret=True,
+                                exclude=excl)
+    ref2 = intersect_mesh(mesh, o, d, 1e-3, exclude=excl)
+    t1, i1 = np.asarray(t1), np.asarray(i1)
+    h = t1 < BIG
+    rh = np.asarray(ref2.hit)
+    assert (h == rh).mean() > 0.999
+    both = h & rh
+    assert (i1[both] == np.asarray(ref2.tri_idx)[both]).mean() > 0.999
+    assert not np.any(h & (i1 == np.asarray(excl)))
+    # Exclusion must actually change something on this workload.
+    assert np.any(np.asarray(ref.hit) & (~h | (i1 != np.asarray(ref.tri_idx))))
+
+
 def test_all_dead_returns_miss(setup):
     mesh, o, d, _ = setup
     alive = jnp.zeros((o.shape[0],), bool)
