@@ -785,7 +785,17 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
 
     n = oc[0].shape[0]
     perm = None
-    if sort and n >= 2048:
+    # Single-cluster meshes (<= CLUSTER_ROWS*128 tris, e.g. the 36-tri true
+    # Cornell box): the crossing key is CONSTANT and the gate union is the
+    # one cluster no matter the order, so the whole sort pipeline (the
+    # first_crossed_cluster gate pass + argsort + per-operand gathers +
+    # result scatters) buys nothing — it measured 5.2x the single-visit
+    # sweep itself on v5e (45.0 -> 8.7 ms per 414Ki rays, config-2 frame
+    # 58.1 -> 12.4 s). Live-lane results are bitwise-identical either way
+    # (see docstring); only dead-lane packing changes, which every caller
+    # masks.
+    k_static = max(-(-mesh.v0.shape[0] // (CLUSTER_ROWS * LANE)), 1)
+    if sort and n >= 2048 and k_static > 1:
         key = sort_keys(oc, dc,
                         None if alive is None else jax.lax.stop_gradient(alive),
                         mesh.bvh_min[0], mesh.bvh_max[0])
