@@ -29,6 +29,9 @@ def main() -> None:
     from qt_raytracer_tpu import RenderConfig
     from qt_raytracer_tpu.core.render import render_linear
     from qt_raytracer_tpu.models import scenes
+    from qt_raytracer_tpu.runtime.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = RenderConfig(width=1920, height=1080, spp=1, max_depth=10,
                        # pixel_chunk=0 -> auto heuristic (resolve_pixel_chunk:

@@ -54,7 +54,6 @@ def main() -> None:
 
     sph_scene, _ = scenes.get_scene("random", 16 / 9)
     world, _ = scenes.get_scene("cornell_mesh", 1.0)
-    key = jax.random.PRNGKey(0)
 
     base = scan_time(lambda i: jnp.float32(0.0) * i)
     print(f"# device={jax.devices()[0].platform} R={R}  "
@@ -66,9 +65,14 @@ def main() -> None:
             sph_scene.spheres if hasattr(sph_scene, "spheres") else sph_scene,
             o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], a,
             1e-3, shadow_only=True)["t"]),
+        # sort=False pins BOTH fit sizes to the same (unsorted) code path:
+        # N=1024 sits below the n>=2048 sort threshold, so letting the sort
+        # engage only at N=414720 would fold its pipeline cost into the
+        # fitted per-launch intercept. (Single-cluster Cornell skips the
+        # sort anyway; explicit so the fit stays valid for any mesh.)
         ("mesh search (cornell)", lambda o, d, a: mesh_search_pallas(
             world.mesh, (o[:, 0], o[:, 1], o[:, 2]),
-            (d[:, 0], d[:, 1], d[:, 2]), 1e-3, alive=a)[0]),
+            (d[:, 0], d[:, 1], d[:, 2]), 1e-3, alive=a, sort=False)[0]),
     ):
         times = []
         for n in sizes:

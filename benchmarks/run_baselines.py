@@ -11,9 +11,10 @@ Configs (BASELINE.md):
   2. Cornell box + emissive light + NEE, 512x512, 64 spp
   3. glossy/dielectric + depth-of-field, 512x512, 24 spp
   4. ~100k-triangle terrain mesh with BVH clusters, 1920x1080, 1 spp
-  5. inverse rendering: recover a perturbed albedo by gradient descent on a
-     sharded multi-step loop (single-host variant; multi-host via
-     parallel.distributed)
+  5. inverse rendering: jointly recover albedo + emitter radiance + per-view
+     camera pose from multi-view renders (edge-aware silhouette gradients,
+     sharded over ("sp","px") when >1 device is visible — see config5's
+     docstring)
 """
 
 from __future__ import annotations
@@ -28,6 +29,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import numpy as np
+
+from qt_raytracer_tpu.runtime.compile_cache import enable_compilation_cache
 
 ORACLE_FULL = False
 
@@ -88,7 +91,9 @@ def config1(scale):
     # bounce 2; present since round 2, same class the full-size checks
     # budget with mismatch_fraction < 0.04). A real estimator bug shifts
     # MOST pixels, so <= 2/256 flips keeps full regression power.
-    per = np.abs(got - want).max(axis=-1) / (np.abs(want).max(-1) + 2e-3)
+    # Per-CHANNEL criterion (abs floor 2e-3 on dim channels, rel 2e-3 on
+    # bright) so a bright channel can't mask a dim-channel error.
+    per = (np.abs(got - want) / (np.abs(want) + 1.0)).max(axis=-1)
     flips = int((per > 2e-3).sum())
     print(json.dumps({"config": "1_oracle_allclose", "passed": flips <= 2,
                       "boundary_flips": flips, "pixels": per.size,
@@ -100,7 +105,7 @@ def config1(scale):
                             max_depth=cfg.max_depth, rng="hash")
         img = np.asarray(render_linear(scene, cam, fcfg, key), np.float64)
         ref = render_oracle_vec(scene, cam, fcfg, key)
-        per = np.max(np.abs(img - ref), axis=-1) / (np.max(ref, -1) + 1e-3)
+        per = (np.abs(img - ref) / (np.abs(ref) + 1.0)).max(axis=-1)
         mism = float((per > 2e-3).mean())
         print(json.dumps({
             "config": "1_oracle_full", "width": fcfg.width,
@@ -131,7 +136,7 @@ def config2(scale):
                             max_depth=cfg.max_depth, nee=True, rng="hash")
         img = np.asarray(render_linear(scene, cam, fcfg, key), np.float64)
         ref = render_oracle_vec(scene, cam, fcfg, key)
-        per = np.max(np.abs(img - ref), axis=-1) / (np.max(ref, -1) + 1e-3)
+        per = (np.abs(img - ref) / (np.abs(ref) + 1.0)).max(axis=-1)
         mism = float((per > 2e-3).mean())
         print(json.dumps({
             "config": "2_oracle_full", "width": fcfg.width,
@@ -271,6 +276,7 @@ def main():
     ap.add_argument("--steps", type=int, default=60,
                     help="config 5: optimizer steps (CI smoke: ~6)")
     args = ap.parse_args()
+    enable_compilation_cache()
     global ORACLE_FULL
     ORACLE_FULL = args.oracle_full
     fns = {1: config1, 2: config2, 3: config3, 4: config4,

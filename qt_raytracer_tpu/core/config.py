@@ -78,9 +78,10 @@ class RenderConfig:
     # boundary term of diff/edge.py to every primary sample. Forward images
     # are UNCHANGED (the term is exactly zero in the primal); gradients gain
     # the visibility-discontinuity contribution that the detached-decision
-    # pathwise estimator drops. ~2x trace cost (background re-trace); xla
-    # intersector is forced for the affected traces. Requires
-    # samples_per_batch == 1.
+    # pathwise estimator drops. Rides the fused/pallas kernels (per-lane
+    # exclusion operands) — measured 1.26x a plain train step on the fused
+    # path, where forcing the xla intersector OOMs at 512^2
+    # (docs/PERFORMANCE.md). Requires samples_per_batch == 1.
     edge_aware: bool = False
 
     def __post_init__(self):

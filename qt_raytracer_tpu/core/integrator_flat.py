@@ -13,10 +13,14 @@ XLA layout conversions between the [N,3] scan carry and the kernel's
 components bitcast straight into kernel tiles (N % 1024 == 0 after padding),
 and winner parameters never leave VMEM un-extracted.
 
-Restrictions (callers fall back to core/integrator.py otherwise):
-  - sphere scenes only (no triangle meshes);
-  - forward-only: every hit quantity is detached, gradients do NOT flow
-    (inverse rendering uses the XLA-re-derive path).
+Coverage (round 3+): both scene families and both directions.
+  - `trace_flat` handles sphere scenes; `trace_flat_world` handles mesh
+    worlds (spheres + triangles + NEE) via the clustered mesh kernel.
+  - `diff=True` re-derives every hit quantity differentiably from the
+    detached kernel winners (Citardauq refinement / _tri_t_diff), so
+    gradients DO flow — `diff/edge.py` rides this fast path (the
+    `fused_diff` intersector). `diff=False` keeps the cheaper detached
+    forward.
 
 All math below mirrors its [N,3] counterpart line by line — keep the two in
 sync (and the oracle, testing/oracle.py) when changing either.

@@ -77,12 +77,19 @@ MT_MODE = os.environ.get("QTRT_MESH_MT", "vpu")
 SORT_MODE = os.environ.get("QTRT_MESH_SORT", "crossing")
 
 
+def num_clusters(num_tris: int) -> int:
+    """Static cluster count for a mesh of `num_tris` triangles — THE packing
+    formula (shared by prep_mesh_clusters, the sort-skip check, and
+    mesh_pairs.cluster_bounds so gate/skip logic can't drift from it)."""
+    return max(-(-num_tris // (CLUSTER_ROWS * LANE)), 1)
+
+
 def prep_mesh_clusters(mesh: TriangleMesh):
     """Lane-dense packing. Returns (tri_planes [9 x (PR,128)],
     box_planes [6 x (KR,128)], centers [k,3], radii [k], k, k_pad)."""
     p = mesh.v0.shape[0]
     g = CLUSTER_ROWS * LANE
-    k = max(-(-p // g), 1)
+    k = num_clusters(p)
     p_pad = k * g
     k_pad = max(-(-k // LANE) * LANE, LANE)
 
@@ -794,7 +801,7 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
     # 58.1 -> 12.4 s). Live-lane results are bitwise-identical either way
     # (see docstring); only dead-lane packing changes, which every caller
     # masks.
-    k_static = max(-(-mesh.v0.shape[0] // (CLUSTER_ROWS * LANE)), 1)
+    k_static = num_clusters(mesh.v0.shape[0])
     if sort and n >= 2048 and k_static > 1:
         key = sort_keys(oc, dc,
                         None if alive is None else jax.lax.stop_gradient(alive),

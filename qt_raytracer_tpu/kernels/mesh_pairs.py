@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.mesh import TriangleMesh
 from .mesh_intersect import (BIG, CLUSTER_ROWS, GROUPS, LANE,
-                             mesh_search_pallas, prep_mesh_clusters)
+                             mesh_search_pallas, num_clusters,
+                             prep_mesh_clusters)
 
 
 def _pairs_kernel(gmap, ox, oy, oz, dx, dy, dz, tcap, valid,
@@ -132,7 +133,7 @@ def cluster_bounds(mesh: TriangleMesh):
     gate and the clustered kernel's phase-1 gate test identical geometry)."""
     p = mesh.v0.shape[0]
     g = CLUSTER_ROWS * LANE
-    k = max(-(-p // g), 1)
+    k = num_clusters(p)
     p_pad = k * g
 
     def pad_tri(x, fill):
