@@ -13,8 +13,11 @@ from __future__ import annotations
 
 import argparse
 import os
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:

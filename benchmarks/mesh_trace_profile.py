@@ -25,6 +25,9 @@ def main() -> None:
                     choices=["std", "flat"])
     ap.add_argument("--depths", nargs="*", type=int, default=[1, 5])
     ap.add_argument("--n", type=int, default=414720)
+    ap.add_argument("--chunk", type=int, default=-1,
+                    help=">=0: use camera rays of this 1080p frame chunk "
+                         "(0-4) instead of random rays")
     args = ap.parse_args()
 
     import jax
@@ -39,10 +42,26 @@ def main() -> None:
     world = meshes.terrain_world()
     k = jax.random.PRNGKey(7)
     n = args.n
-    o = jax.random.uniform(k, (n, 3), minval=-4.0, maxval=4.0)
-    o = o.at[:, 1].add(3.0)
-    d = jax.random.normal(jax.random.fold_in(k, 1), (n, 3))
-    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    if args.chunk >= 0:
+        # The REAL config-4 wavefront: chunk `c` of the 1080p 1spp frame
+        # (camera rays; n must divide the frame into 1024-multiples).
+        from qt_raytracer_tpu.core.camera import get_rays
+        from qt_raytracer_tpu.core.config import RenderConfig
+        from qt_raytracer_tpu.core.render import pixel_grid
+        cfg = RenderConfig(width=1920, height=1080, spp=1, max_depth=5)
+        cam = meshes.terrain_camera(cfg.aspect_ratio)
+        i, j, _ = pixel_grid(cfg)
+        base = args.chunk * n
+        i, j = i[base:base + n], j[base:base + n]
+        o, d = get_rays(cam, (i + 0.5) / cfg.width, (j + 0.5) / cfg.height,
+                        jnp.zeros((n,)), jnp.zeros((n,)))
+        o = jnp.asarray(o)
+        d = jnp.asarray(d)
+    else:
+        o = jax.random.uniform(k, (n, 3), minval=-4.0, maxval=4.0)
+        o = o.at[:, 1].add(3.0)
+        d = jax.random.normal(jax.random.fold_in(k, 1), (n, 3))
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
     keys = sampling.pixel_states(k, jnp.arange(n, dtype=jnp.uint32), "hash")
     skeys = sampling.sample_keys(keys, 0)
 

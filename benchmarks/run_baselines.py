@@ -167,10 +167,10 @@ def config4(scale):
     _bench_render("4_terrain_100k_tris", world, cam, cfg)
 
 
-def config5(scale, steps=60):
-    """BASELINE configs[4] at its actual spec: recover albedo + EMITTER
+def config5(scale, steps=60, albedo_lr=0.03, views=4):
+    """BASELINE configs[4] at its LITERAL spec: recover albedo + EMITTER
     radiance + per-view CAMERA pose by gradient descent on multi-view
-    renders (M=4 views, >=960x540 at scale 1), edge-aware silhouette
+    renders (M=4 views, 1920x1080 at scale 1), edge-aware silhouette
     gradients, sharded over ("sp","px") when >1 device is visible.
     Targets render progressively (render_targets) so no device call
     exceeds the axon ~15 s limit."""
@@ -187,8 +187,8 @@ def config5(scale, steps=60):
     from qt_raytracer_tpu.models import scenes
     from qt_raytracer_tpu.parallel.sharding import make_mesh
 
-    w = max(int(960 * scale), 64)
-    h = max(int(540 * scale), 36)
+    w = max(int(1920 * scale), 64)
+    h = max(int(1080 * scale), 36)
     cfg_train = RenderConfig(width=w, height=h, spp=2, max_depth=4,
                              rng="hash", nee=True, samples_per_batch=1,
                              edge_aware=True)
@@ -197,7 +197,8 @@ def config5(scale, steps=60):
     true_scene = scenes.cornell_box_spheres()
     base_cam = scenes.cornell_box_camera(cfg_train.aspect_ratio)
     true_cams = orbit_cameras(base_cam, [(0.0, 0.0, 0.0), (0.5, 0.0, 0.0),
-                                         (-0.5, 0.1, 0.0), (0.0, 0.3, -0.3)])
+                                         (-0.5, 0.1, 0.0),
+                                         (0.0, 0.3, -0.3)][:views])
     t_targets = time.perf_counter()
     targets = render_targets(true_scene, true_cams, cfg_target, seed=7,
                              spp_per_call=8)
@@ -218,7 +219,7 @@ def config5(scale, steps=60):
     if len(jax.devices()) > 1:
         mesh = make_mesh(sp=1)          # all devices on the pixel axis
     opt = optax.multi_transform(
-        {"scene": optax.adam(3e-2), "emission": optax.adam(0.6),
+        {"scene": optax.adam(albedo_lr), "emission": optax.adam(0.6),
          "camera": optax.adam(2.5e-2)},
         {"scene": {"albedo": "scene", "emission": "emission"},
          "camera": {"translate": "camera"}})
@@ -264,6 +265,82 @@ def config5(scale, steps=60):
     }))
 
 
+def config5_mesh(scale, steps=60, views=2):
+    """Config-5 mesh-world recovery line: camera-pose recovery in the TRUE
+    Cornell box (triangle walls + boxes + emissive area quad, NEE+MIS)
+    from multi-view 1920x1080-at-scale-1 renders, edge-aware silhouette
+    gradients through the Pallas mesh kernel's per-lane exclusion operands
+    (the xla path OOMs at this size — docs/PERFORMANCE.md edge-step table).
+    Pose is the trainable family here (the scene-field lines are covered at
+    full joint scope by 5_inverse_multiview above)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    import optax
+
+    from qt_raytracer_tpu import RenderConfig
+    from qt_raytracer_tpu.diff.multiview import (make_multiview_train_step,
+                                                 orbit_cameras,
+                                                 render_targets,
+                                                 translate_camera)
+    from qt_raytracer_tpu.models import meshes
+    from qt_raytracer_tpu.parallel.sharding import make_mesh
+
+    w = max(int(1920 * scale), 64)
+    h = max(int(1080 * scale), 36)
+    cfg_train = RenderConfig(width=w, height=h, spp=2, max_depth=4,
+                             rng="hash", nee=True, samples_per_batch=1,
+                             edge_aware=True)
+    cfg_target = dc.replace(cfg_train, spp=max(int(32 * min(scale, 1.0)), 8),
+                            edge_aware=False)
+    world = meshes.cornell_box_world()
+    base_cam = meshes.cornell_box_mesh_camera(cfg_train.aspect_ratio)
+    true_cams = orbit_cameras(base_cam,
+                              [(0.0, 0.0, 0.0), (0.4, 0.15, 0.0)][:views])
+    t_targets = time.perf_counter()
+    targets = render_targets(world, true_cams, cfg_target, seed=11,
+                             spp_per_call=4)
+    jax.block_until_ready(targets)
+    print(f"# config5_mesh targets rendered: "
+          f"{time.perf_counter() - t_targets:.0f}s",
+          file=sys.stderr, flush=True)
+
+    pose_err = jnp.array([0.1, -0.07, 0.05])
+    start_cams = tuple(translate_camera(c, pose_err) for c in true_cams)
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = make_mesh(sp=1)
+    init_state, step_fn, _, _ = make_multiview_train_step(
+        world, start_cams, cfg_train, optax.adam(2.5e-2),
+        trainable=(), train_camera="pose", mesh=mesh, edge_aware=True)
+    key = jax.random.PRNGKey(11)
+    state = init_state()
+    t_c = time.perf_counter()
+    state, _ = step_fn(state, targets, key)
+    jax.block_until_ready(state)
+    print(f"# config5_mesh step compiled: {time.perf_counter() - t_c:.0f}s",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    for it in range(steps):
+        state, loss = step_fn(state, targets, key)
+        if (it + 1) % 10 == 0:
+            print(f"# config5_mesh step {it + 1}/{steps} "
+                  f"loss={float(loss):.5f}", file=sys.stderr, flush=True)
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / steps
+    tr = np.asarray(state.params["camera"]["translate"])
+    pose_errs = np.abs(tr + np.asarray(pose_err)).max(axis=1)
+    print(json.dumps({
+        "config": "5_inverse_mesh_world", "width": w, "height": h,
+        "views": len(true_cams), "spp": cfg_train.spp, "nee": True,
+        "edge_aware": True, "steps": steps + 1,
+        "step_s": round(dt, 4), "final_loss": round(float(loss), 6),
+        "pose_err_start": round(float(np.abs(np.asarray(pose_err)).max()), 4),
+        "pose_max_err": round(float(pose_errs.max()), 4),
+        "backend": jax.default_backend(),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", nargs="*", type=int,
@@ -275,12 +352,25 @@ def main():
                          "vectorized oracle (O(30s) numpy)")
     ap.add_argument("--steps", type=int, default=60,
                     help="config 5: optimizer steps (CI smoke: ~6)")
+    ap.add_argument("--albedo-lr", type=float, default=0.03,
+                    help="config 5: adam lr for the albedo group")
+    ap.add_argument("--views", type=int, default=4,
+                    help="config 5: number of views")
+    ap.add_argument("--mesh-world", action="store_true",
+                    help="config 5: also run the TRUE-Cornell mesh-world "
+                         "pose-recovery line (5_inverse_mesh_world)")
     args = ap.parse_args()
     enable_compilation_cache()
     global ORACLE_FULL
     ORACLE_FULL = args.oracle_full
-    fns = {1: config1, 2: config2, 3: config3, 4: config4,
-           5: lambda s: config5(s, steps=args.steps)}
+
+    def c5(s):
+        config5(s, steps=args.steps, albedo_lr=args.albedo_lr,
+                views=args.views)
+        if args.mesh_world:
+            config5_mesh(s, steps=args.steps)
+
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: c5}
     for c in args.configs:
         fns[c](args.scale)
 
