@@ -51,6 +51,7 @@ def main() -> None:
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--keys", type=int, default=4)
     ap.add_argument("--depth", type=int, default=3)
+    ap.add_argument("--eps", type=float, default=1e-2)
     args = ap.parse_args()
 
     cfg = RenderConfig(width=48, height=32, spp=args.spp,
@@ -74,20 +75,23 @@ def main() -> None:
                               + delta)
             return jnp.mean((mean_image(world, camp, c, key) - target) ** 2)
 
-        fds, ges = [], []
-        eps = 1e-2
+        fds, ges, gps = [], [], []
+        eps = args.eps
         for ki in range(args.keys):
             key = jax.random.fold_in(key0, ki)
             fd = (float(loss(eps, cfg, key))
                   - float(loss(-eps, cfg, key))) / (2 * eps)
             ge = float(jax.grad(lambda s: loss(s, cfg_edge, key))(0.0))
+            gp = float(jax.grad(lambda s: loss(s, cfg, key))(0.0))
             fds.append(fd)
             ges.append(ge)
+            gps.append(gp)
         fd_m, fd_s = np.mean(fds), np.std(fds)
         ge_m, ge_s = np.mean(ges), np.std(ges)
         resid = fd_m - ge_m
         print(f"axis={axis}: fd={fd_m:+.5f}±{fd_s:.5f} "
               f"edge={ge_m:+.5f}±{ge_s:.5f} "
+              f"plain={np.mean(gps):+.5f} "
               f"residual={resid:+.5f} ({abs(resid)/max(abs(fd_m),1e-12):.1%} "
               f"of fd)")
 

@@ -211,25 +211,48 @@ def _emit_weight_flat(h, ox, oy, oz, prev_pdf, n_lights):
     return jnp.where(use, prev_pdf / denom, 1.0)
 
 
-def _world_hit_flat(world, ox, oy, oz, dx, dy, dz, alive, t_min, interpret):
+def _world_hit_flat(world, ox, oy, oz, dx, dy, dz, alive, t_min, interpret,
+                    mesh_kernel: str = "clustered", depth_idx=None):
     """Merged sphere+mesh closest hit on flat components (forward-only).
 
     Mirrors core/world.intersect_world's merge semantics (sphere hit from
-    the fused kernel, mesh hit from the clustered kernel sphere-capped,
-    strict '<' merge, unified prim id space) with every quantity detached.
-    The mesh kernel consumes the flat components DIRECTLY (zero [N,3]
-    materialization — kernels/mesh_intersect._comps).
+    the fused kernel, mesh hit sphere-capped, strict '<' merge, unified
+    prim id space) with every quantity detached. The mesh kernel consumes
+    the flat components DIRECTLY (zero [N,3] materialization —
+    kernels/mesh_intersect._comps).
+
+    mesh_kernel: "clustered" (union-gated sweep), "pairs" (pair-wavefront
+    path — wins on INCOHERENT wavefronts, round-4 measurements in
+    docs/PERFORMANCE.md), or "hybrid" (clustered at depth_idx == 0,
+    pairs for bounce wavefronts — a lax.cond on the traced depth, both
+    searches are bitwise-identical for live lanes so the branch is
+    semantics-free).
     """
     from ..kernels.mesh_intersect import mesh_search_pallas
+    from ..kernels.mesh_pairs import mesh_search_pairs
     from .world import face_param_table
 
     spheres = world.spheres
     ns = spheres.num_spheres
     h = fused_hit_pallas(spheres, ox, oy, oz, dx, dy, dz, alive,
                          float(t_min), interpret=interpret)
-    t_m, idx_m = mesh_search_pallas(
-        world.mesh, (ox, oy, oz), (dx, dy, dz), float(t_min),
-        interpret=interpret, alive=alive, t_cap=h["t"])
+
+    def _clustered():
+        return mesh_search_pallas(
+            world.mesh, (ox, oy, oz), (dx, dy, dz), float(t_min),
+            interpret=interpret, alive=alive, t_cap=h["t"])
+
+    def _pairs():
+        return mesh_search_pairs(
+            world.mesh, (ox, oy, oz), (dx, dy, dz), float(t_min),
+            interpret=interpret, alive=alive, t_cap=h["t"])
+
+    if mesh_kernel == "pairs":
+        t_m, idx_m = _pairs()
+    elif mesh_kernel == "hybrid" and depth_idx is not None:
+        t_m, idx_m = jax.lax.cond(depth_idx == 0, _clustered, _pairs)
+    else:
+        t_m, idx_m = _clustered()
     mesh_hit = t_m < BIG
     closer = mesh_hit & ((h["t"] >= BIG) | (t_m < h["t"]))
 
@@ -516,7 +539,18 @@ _trace_flat_world_guarded.defvjp(_trace_flat_world_fwd,
 
 def _trace_flat_world_impl(world, origins, directions, sample_keys,
                            max_depth, t_min, nee, rr_start, interpret):
+    import os
+
     from .world import world_lights
+
+    # Mesh-kernel policy for the bounce loop (QTRT_MESH_KERNEL):
+    # "clustered" (default), "pairs" (all bounces), or "hybrid"
+    # (clustered for the coherent depth-0 wavefront, pairs for bounce
+    # wavefronts — where the pair path wins; round-4 measurements in
+    # docs/PERFORMANCE.md).
+    mesh_kernel = os.environ.get("QTRT_MESH_KERNEL", "clustered")
+    if mesh_kernel not in ("clustered", "pairs", "hybrid"):
+        mesh_kernel = "clustered"
 
     ns = world.spheres.num_spheres
     lights = world_lights(world)
@@ -547,7 +581,8 @@ def _trace_flat_world_impl(world, origins, directions, sample_keys,
         (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
          alive, prev_pdf, keys) = state
         h = _world_hit_flat(world, ox, oy, oz, dx, dy, dz, alive, t_min,
-                            interpret)
+                            interpret, mesh_kernel=mesh_kernel,
+                            depth_idx=depth_idx)
         hit = h["t"] < BIG
         ff = h["ff"] > 0
 

@@ -21,10 +21,11 @@ under dθ. For a sphere, the hit indicator is H(g) with the closed-form
 positive inside the silhouette, zero exactly on it. Divide by the
 screen-space gradient magnitude |∇_px g| (detached) and g becomes a signed
 distance sd in PIXEL units; primary samples with 0 < sd ≤ W lie within W
-pixels inside the edge. A one-sided triangular kernel w(sd) with unit
-integral turns those samples into an unbiased-as-W→0 Monte-Carlo estimate of
-the edge integral (W = 1 px here: the bias is a one-pixel blur of the edge
-VELOCITY, not of the image):
+pixels inside the edge. A one-sided kernel w(sd) with unit integral turns
+those samples into an unbiased-as-W→0 Monte-Carlo estimate of the edge
+integral (W = 1 px; the optional SECOND-ORDER weight — see _edge_weight —
+additionally cancels the O(W) velocity-blur bias, measured linear in W by
+benchmarks/tri_edge_bias.py):
 
     edge ≈ Σ_samples  w(sd) · (L_fg − L_bg) · ∂sd/∂θ
 
@@ -71,6 +72,41 @@ from ..core.world import as_world, intersect_world
 
 # One-sided kernel width in pixel units.
 EDGE_KERNEL_PX = 1.0
+# Kernel order (QTRT_EDGE_KERNEL_ORDER): 1 (default) = the one-sided
+# triangular weight; 2 = the Richardson-extrapolated weight 2*w_{W/2} -
+# w_W, which CANCELS the O(W) kernel bias at zero extra trace cost (the
+# background re-trace is shared; only the weight polynomial changes).
+# Measured (benchmarks/tri_edge_bias.py, quad coverage functional,
+# 256 spp, FD truth -0.0220+-0.0005 stable over eps 5e-3..4e-2):
+#   order 1: linear-in-W bias, ~13%/px at a 14-px feature scale
+#            (-0.0202 / -0.0187 / -0.0159 at W = 0.5/1/2), W->0
+#            extrapolation 98% of FD. The bias scales as
+#            W / feature-size-in-px (a velocity blur), so ~1-3% at
+#            production resolutions — and for training it only rescales
+#            the gradient, which the lr absorbs.
+#   order 2: W-independent, within ~1-3% of FD at every W
+#            (-0.0218 / -0.0217 / -0.0214) — but the signed weight has
+#            ~3x the peak magnitude, so more gradient variance per
+#            sample; kept opt-in for validation/accuracy-critical use.
+# tests/test_mesh_edge_gradients.py pins both: the order-1 bias band and
+# the order-2 FD match at rtol 0.1.
+import os as _os
+
+EDGE_KERNEL_ORDER = int(_os.environ.get("QTRT_EDGE_KERNEL_ORDER", "1"))
+
+
+def _edge_weight(sd_det, w_px: float, order: int):
+    """Unit-integral one-sided kernel weight on (0, w_px].
+
+    order 1: w(s) = (2/W)(1 - s/W)              (first moment W/3)
+    order 2: 2*w_{W/2}(s)*[s<=W/2] - w_W(s)     (first moment 0)
+    """
+    tri = lambda wd: (2.0 / wd) * (1.0 - sd_det / wd)
+    if order == 1:
+        return tri(w_px)
+    half = 0.5 * w_px
+    inner = jnp.where(sd_det <= half, 2.0 * tri(half), 0.0)
+    return inner - tri(w_px)
 
 
 def _silhouette_g(origins, directions, centers, radii):
@@ -219,7 +255,8 @@ def sample_radiance_edge_aware(scene, camera, cfg: RenderConfig,
     w_px = EDGE_KERNEL_PX
     near_edge = ((is_sph | is_tri) & (sd_det > 0.0) & (sd_det <= w_px)
                  & (grad_px > 1e-12))
-    w = jnp.where(near_edge, (2.0 / w_px) * (1.0 - sd_det / w_px), 0.0)
+    w = jnp.where(near_edge,
+                  _edge_weight(sd_det, w_px, EDGE_KERNEL_ORDER), 0.0)
 
     # Background radiance: same rays/streams, winner excluded at bounce 0.
     excl = jnp.where(near_edge, prim0, -1).astype(jnp.int32)

@@ -9,11 +9,15 @@ traversal inside out, the TPU analog of a GPU ray-queue:
 
   1. XLA prologue: slab-test every (ray, cluster) pair against the
      sphere-capped slack bound (the exact per-lane gate the clustered
-     kernel applies on its first block) and EMIT the crossing pairs with
-     `jnp.nonzero(size=...)` — static shapes, pair budget ~4N.
-  2. Group pairs CLUSTER-major, each cluster's pair list padded to a
-     multiple of 128, and gather each pair's ray data with ONE packed
-     row-gather ([N,8] table: origin, direction, t-cap).
+     kernel applies on its first block) and extract each ray's ASCENDING
+     crossing-cluster list with static width C via `lax.top_k` — no
+     jnp.nonzero (measured 757 ms at [k*N]; top_k is ~11 ms).
+  2. Group pairs CLUSTER-major with ONE stable `lax.sort` of the N*C
+     (cluster, ray) records (~2 ms at 2M — the round-4 discovery that
+     revived this path; see docs/PERFORMANCE.md round-4 tables), pad each
+     cluster's run to a multiple of 128 via scatter+cummax slot maps, and
+     gather each pair's ray data with ONE packed row-gather ([N,8] table:
+     origin, direction, t-cap).
   3. Kernel: every 128-pair tile belongs to ONE cluster (id scalar-
      prefetched per tile); Möller-Trumbore runs as (128 rays, 128 tris)
      tiles over just that cluster's CLUSTER_ROWS rows — every visit is
@@ -22,9 +26,8 @@ traversal inside out, the TPU analog of a GPU ray-queue:
      lowest global triangle id (bitwise the clustered kernel's rule:
      ascending-cluster strict-< then lowest-gid-within-cluster).
 
-Pair-budget overflow (pathological crossing counts) never corrupts the
-image: `jnp.nonzero` drops the HIGHEST ray ids first, so rays >= the last
-fully-kept ray are re-run through the clustered kernel via its alive mask
+Per-ray crossing-list overflow (> C crossings) never corrupts the image:
+those rays are re-run through the clustered kernel via its alive mask
 (all-false in the common case: its sort packs dead rays into skipped
 groups, leaving only grid overhead).
 
@@ -127,6 +130,120 @@ def _pairs_kernel(gmap, ox, oy, oz, dx, dy, dz, tcap, valid,
             idx_out[grp:grp+1, :] = jnp.zeros((1, LANE), jnp.int32)
 
 
+def _clists_kernel(ox, oy, oz, dx, dy, dz, alive, tcap,
+                   blox, bloy, bloz, bhix, bhiy, bhiz,
+                   *outs, t_min: float, num_clusters: int,
+                   k_rows: int, c_max: int):
+    """Per-ray ascending crossed-cluster lists with static width c_max.
+
+    Same slab/cap/alive gate bits as _c1_kernel (and the clustered
+    kernel's phase-1), materialized ONCE per group into the (128, k_pad)
+    scratch as cid-or-sentinel, then c_max cheap masked-min extraction
+    passes. Replaces the XLA [N,k] mask + top_k prologue (measured ~46 ms
+    per 414Ki rays; this kernel is ~5 ms)."""
+    # Positional tail: c_max list outputs, the count output, the scratch.
+    m_ref = outs[-1]
+    n_out = outs[-2]
+    c_outs = outs[:-2]
+    tcol = lambda row: jnp.transpose(row, (1, 0))
+    for grp in range(GROUPS):
+        row_alive = jnp.sum(alive[grp:grp + 1, :]) > 0
+
+        @pl.when(row_alive)
+        def _(grp=grp):
+            o = tuple(tcol(c[grp:grp+1, :]) for c in (ox, oy, oz))
+            d = tuple(tcol(c[grp:grp+1, :]) for c in (dx, dy, dz))
+            alive_col = tcol(alive[grp:grp+1, :]) != 0
+            cap_col = jnp.minimum(
+                tcol(tcap[grp:grp+1, :]) * 1.0001 + 1e-4, 1.0e37)
+            inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-30,
+                                        jnp.where(c < 0, -1e-30, 1e-30), c)
+                        for c in d)
+            for kr in range(k_rows):
+                blo = (blox[kr:kr+1, :], bloy[kr:kr+1, :], bloz[kr:kr+1, :])
+                bhi = (bhix[kr:kr+1, :], bhiy[kr:kr+1, :], bhiz[kr:kr+1, :])
+                enter = jnp.full((128, LANE), t_min, jnp.float32)
+                exit_ = jnp.full((128, LANE), BIG, jnp.float32)
+                for a in range(3):
+                    t0 = (blo[a] - o[a]) * inv[a]
+                    t1 = (bhi[a] - o[a]) * inv[a]
+                    enter = jnp.maximum(enter, jnp.minimum(t0, t1))
+                    exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
+                mask = (exit_ > enter) & (enter <= cap_col) & alive_col
+                cid = kr * LANE + jax.lax.broadcasted_iota(
+                    jnp.int32, mask.shape, 1)
+                m_ref[:, kr * LANE:(kr + 1) * LANE] = jnp.where(
+                    mask, cid, num_clusters)
+
+            stored = m_ref[...]                       # (128, k_pad)
+            ncross = jnp.sum((stored < num_clusters).astype(jnp.int32),
+                             axis=1, keepdims=True)
+            n_out[grp:grp+1, :] = jnp.transpose(ncross, (1, 0))
+            last = jnp.full((128, 1), -1, jnp.int32)
+            for j in range(c_max):
+                cj = jnp.min(jnp.where(stored > last, stored, num_clusters),
+                             axis=1, keepdims=True)
+                c_outs[j][grp:grp+1, :] = jnp.transpose(cj, (1, 0))
+                last = cj
+
+        @pl.when(jnp.logical_not(row_alive))
+        def _(grp=grp):
+            n_out[grp:grp+1, :] = jnp.zeros((1, LANE), jnp.int32)
+            for j in range(c_max):
+                c_outs[j][grp:grp+1, :] = jnp.full(
+                    (1, LANE), num_clusters, jnp.int32)
+
+
+def crossing_lists(mesh: TriangleMesh, origins, directions, t_min: float,
+                   alive=None, t_cap=None, c_max: int = 4,
+                   interpret: bool = False):
+    """([N, c_max] i32 ascending crossed-cluster ids, k = none;
+    [N] i32 crossing count) — the pair-wavefront emission, in-kernel.
+
+    Gate bits match _c1_kernel / the clustered kernel's phase 1 (same
+    eps-padded boxes from prep_mesh_clusters, same cap slack)."""
+    from .mesh_intersect import _comps
+
+    oc, dc = _comps(origins), _comps(directions)
+    n = oc[0].shape[0]
+    tile = GROUPS * LANE
+    n_pad = max(-(-n // tile) * tile, tile)
+    nb = n_pad // tile
+
+    def comp(x, fill=0.0):
+        return jnp.pad(x, (0, n_pad - n), constant_values=fill) \
+            .reshape(nb * GROUPS, LANE)
+
+    rays = [comp(c) for c in oc] + [comp(c) for c in dc]
+    alive_f = (jnp.ones((n,), jnp.float32) if alive is None
+               else alive.astype(jnp.float32))
+    rays.append(comp(alive_f).astype(jnp.int32))   # padding rays dead (0)
+    rays.append(comp(jnp.full((n,), BIG, jnp.float32), BIG) if t_cap is None
+                else comp(t_cap, BIG))
+
+    _, box_planes, _, _, k, k_pad = prep_mesh_clusters(mesh)
+    kr = box_planes[0].shape[0]
+    ray_spec = pl.BlockSpec((GROUPS, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    box_spec = pl.BlockSpec((kr, LANE), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_clists_kernel, t_min=t_min, num_clusters=k,
+                          k_rows=kr, c_max=c_max),
+        grid=(nb,),
+        in_specs=[ray_spec] * 8 + [box_spec] * 6,
+        out_specs=tuple([ray_spec] * (c_max + 1)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nb * GROUPS, LANE), jnp.int32)
+            for _ in range(c_max + 1)),
+        scratch_shapes=[pltpu.VMEM((128, kr * LANE), jnp.int32)],
+        interpret=interpret,
+    )(*rays, *box_planes)
+    clus_nc = jnp.stack([o.reshape(-1)[:n] for o in out[:-1]], axis=1)
+    ncross = out[-1].reshape(-1)[:n]
+    return clus_nc, ncross
+
+
 def cluster_bounds(mesh: TriangleMesh):
     """Unpadded cluster AABBs [k,3] — the same epsilon-padded boxes
     prep_mesh_clusters packs lane-dense (kept in one place so the emission
@@ -161,14 +278,25 @@ def mesh_search_pairs(mesh: TriangleMesh, origins, directions,
     detached — drop-in for mesh_search_pallas (same sphere-cap semantics:
     a lane reports a mesh hit only when a triangle strictly beats t_cap).
 
-    pair_budget: static (ray, cluster) pair capacity; 0 -> ~4 pairs/ray
-    (terrain measures ~1.7 crossings/ray after cap pruning). Overflow rays
-    fall back to the clustered kernel, so the budget trades speed, never
-    correctness."""
-    origins = jax.lax.stop_gradient(origins)
-    directions = jax.lax.stop_gradient(directions)
+    pair_budget: static (ray, cluster) pair capacity; 0 -> 4 pairs/ray
+    (terrain measures ~1.7-2.0 crossings/ray on bounce wavefronts). Rays
+    with MORE than budget/N crossings fall back to the clustered kernel,
+    so the budget trades speed, never correctness.
+
+    Round-4 compaction (replaces the refuted jnp.nonzero/scatter pipeline,
+    docs/PERFORMANCE.md): per-ray crossing lists with STATIC width C via
+    top_k over the [N, k] slab mask, ONE stable sort of the N*C (cluster,
+    ray) records into cluster-major order, and the padded-slot maps from a
+    196-element scatter + cummax (searchsorted over B was measured 138 ms;
+    sort at 2M is ~2 ms, benchmarks/compactor_probe.py). The pair order
+    (ascending cluster, ray-ascending within) is IDENTICAL to the old
+    nonzero emission, so kernel inputs and outputs are bitwise unchanged."""
+    from .mesh_intersect import _comps
+
+    oc = tuple(jax.lax.stop_gradient(c) for c in _comps(origins))
+    dc = tuple(jax.lax.stop_gradient(c) for c in _comps(directions))
     mesh = jax.lax.stop_gradient(mesh)
-    n = origins.shape[0]
+    n = oc[0].shape[0]
     num_tris = mesh.num_triangles
 
     alive_b = (jnp.ones((n,), bool) if alive is None
@@ -176,66 +304,61 @@ def mesh_search_pairs(mesh: TriangleMesh, origins, directions,
     tcap = (jnp.full((n,), BIG, jnp.float32) if t_cap is None
             else jax.lax.stop_gradient(t_cap))
 
-    lo, hi, k = cluster_bounds(mesh)
+    k = num_clusters(mesh.v0.shape[0])
     if pair_budget <= 0:
         pair_budget = 4 * n
-    p_cap = min(max(-(-pair_budget // 1024) * 1024, 1024), n * k)
+    c_max = min(max(pair_budget // n, 1), k)
 
-    # --- 1. emission: per-(ray, cluster) slab test against the slacked
-    # sphere cap (identical formula to the clustered kernel's first-block
-    # gate, so emitted pairs are a superset of every visit it would make).
-    # The mask is built CLUSTER-major ([k, N]) so nonzero's ascending flat
-    # indices come out already grouped by cluster — no argsort needed.
-    inv = 1.0 / jnp.where(jnp.abs(directions) < 1e-30,
-                          jnp.where(directions < 0, -1e-30, 1e-30),
-                          directions)
-    cap_gate = jnp.minimum(tcap * 1.0001 + 1e-4, 1.0e37)
-    enter = jnp.full((k, n), t_min, jnp.float32)
-    exit_ = jnp.full((k, n), BIG, jnp.float32)
-    for a in range(3):
-        t0 = (lo[:, a:a+1] - origins[None, :, a]) * inv[None, :, a]
-        t1 = (hi[:, a:a+1] - origins[None, :, a]) * inv[None, :, a]
-        enter = jnp.maximum(enter, jnp.minimum(t0, t1))
-        exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
-    mask = (exit_ > enter) & (enter <= cap_gate[None, :]) & alive_b[None, :]
+    # --- 1. emission: per-ray ascending crossed-cluster lists from the
+    # Pallas gate kernel (same slab/cap/alive gate bits as the clustered
+    # kernel's phase 1 — identical eps-padded boxes and cap slack — so
+    # emitted pairs are a superset of every visit it would make). The XLA
+    # [N, k] mask + top_k formulation measured ~46 ms per 414Ki rays; the
+    # kernel emission is ~5 ms (docs/PERFORMANCE.md round-4 tables).
+    clus_nc, ncross = crossing_lists(
+        mesh, oc, dc, t_min, alive=alive_b, t_cap=tcap,
+        c_max=c_max, interpret=interpret)
+    # A ray with more crossings than the static list width has an
+    # INCOMPLETE pair list and is re-run through the clustered kernel.
+    unsafe = ncross > c_max
 
-    flat = mask.reshape(-1)
-    (pidx,) = jnp.nonzero(flat, size=p_cap, fill_value=n * k)
-    clus = pidx // n
-    ray = pidx - clus * n
-    valid = pidx < n * k
-    npairs = jnp.sum(flat.astype(jnp.int32))
-    # Overflow drops the highest CLUSTERS first (cluster-major ids): any
-    # ray crossing a cluster >= the last kept one may be incomplete and is
-    # re-run through the clustered kernel below.
-    c_last = jnp.where(npairs > p_cap, clus[p_cap - 1], k)
-    unsafe = jnp.any(
-        mask & (jnp.arange(k, dtype=jnp.int32)[:, None] >= c_last), axis=0)
+    # --- 2. cluster-major grouping: one stable sort of the N*C records.
+    # Stable + ray-major input => within each cluster, pairs stay
+    # ray-ascending: exactly the old nonzero emission order.
+    m_tot = n * c_max
+    rid_nc = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, c_max))
+    clus_s, rid_s = jax.lax.sort(
+        (clus_nc.reshape(-1), rid_nc.reshape(-1)), num_keys=1)
 
-    # --- 2. pack each cluster's pairs into 128-lane-padded slots.
-    # B >= p_cap + 128*k guarantees the padded total always fits.
-    b_tot = -(-(p_cap + LANE * k) // (GROUPS * LANE)) * (GROUPS * LANE)
-    ng = b_tot // LANE
-    vi = valid.astype(jnp.int32)
-    cidx = jnp.clip(clus, 0, k - 1)
-    counts = jnp.zeros((k,), jnp.int32).at[cidx].add(vi)
-    cum = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    # Per-cluster source starts/counts: searchsorted with k queries over
+    # the sorted keys (the CHEAP direction; B-query searchsorted is not).
+    qs = jnp.arange(k + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(clus_s, qs, side="left").astype(jnp.int32)
+    cum = bounds[:-1]                                 # src start per cluster
+    counts = bounds[1:] - cum
     padded = -(-counts // LANE) * LANE
     pstart = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]])
 
-    rank = jnp.arange(p_cap, dtype=jnp.int32) - cum[cidx]
-    slot = jnp.where(valid, pstart[cidx] + rank, b_tot)
-    ray_buf = jnp.full((b_tot,), -1, jnp.int32).at[slot].set(
-        ray, mode="drop", unique_indices=True)
-    gmap = jnp.zeros((ng,), jnp.int32).at[
-        jnp.where(valid, slot // LANE, ng)].max(clus, mode="drop")
+    # --- 3. padded-slot maps WITHOUT per-slot searchsorted: scatter each
+    # cluster id at its padded start (ascending ids; empty clusters
+    # collapse onto the next start and lose the max — correct), cummax
+    # fills the slots.
+    b_tot = -(-(m_tot + LANE * k) // (GROUPS * LANE)) * (GROUPS * LANE)
+    ng = b_tot // LANE
+    marks = jnp.zeros((b_tot,), jnp.int32).at[pstart].max(
+        jnp.arange(k, dtype=jnp.int32), mode="drop")
+    cmap = jax.lax.cummax(marks)                      # [B] cluster per slot
+    off = jnp.arange(b_tot, dtype=jnp.int32) - pstart[cmap]
+    validj = off < counts[cmap]
+    src = jnp.clip(cum[cmap] + off, 0, m_tot - 1)
+    ray_buf = jnp.where(validj, rid_s[src], -1)
+    gmap = cmap.reshape(ng, LANE)[:, 0]
 
     # --- 3. one packed row-gather for each pair's ray data.
-    table = jnp.concatenate(
-        [origins, directions, tcap[:, None],
-         jnp.zeros((n, 1), jnp.float32)], axis=1)        # [N, 8]
+    table = jnp.stack(
+        [*oc, *dc, tcap, jnp.zeros((n,), jnp.float32)], axis=1)  # [N, 8]
     gathered = table[jnp.clip(ray_buf, 0, n - 1)]        # [B, 8]
     plane = lambda j: gathered[:, j].reshape(ng, LANE)
     valid_plane = (ray_buf >= 0).astype(jnp.int32).reshape(ng, LANE)

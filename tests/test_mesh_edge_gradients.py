@@ -147,6 +147,53 @@ def test_mesh_edge_gradient_on_kernel_path():
     np.testing.assert_allclose(g_edge, fd, rtol=0.5)
 
 
+def test_mesh_translation_gradient_bias_pinned_high_spp():
+    # Bias-pinning case (round-4 VERDICT item 3): the triangle-family analog
+    # of the sphere family's tight test (test_edge_gradients.py). Pure
+    # coverage functional (projected size under rigid z-translation), where
+    # FD is eps-stable (measured -0.0220+-0.0005 across eps 5e-3..4e-2 at
+    # 256 spp, benchmarks/tri_edge_bias.py). Two assertions:
+    #   order 2 (Richardson weight): W-independent, FD at rtol 0.1
+    #     (measured -0.0217 at W=1, 256 spp);
+    #   order 1 (default triangular weight): the measured LINEAR-in-W
+    #     velocity-blur bias, pinned to its band — capture 80-95% of FD at
+    #     W=1 on this 14-px quad (measured 85%; the bias scales as
+    #     W / feature-px-size, so ~1-3% at production resolutions).
+    # This attribution closed the round-3 "60% capture" question: kernel-
+    # width blur plus an eps-UNSTABLE FD reference on the L2 composition
+    # (FD there swings 0.039-0.050 over eps), not an estimator defect.
+    from qt_raytracer_tpu.diff import edge as edge_mod
+
+    cfg = dc.replace(CFG, spp=256)
+    cfg_edge = dc.replace(cfg, edge_aware=True)
+    cam = _camera()
+
+    def loss(dz, c):
+        world = _quad_world()
+        mesh = world.mesh
+        delta = jnp.array([0.0, 0.0, dz])
+        mesh = dc.replace(mesh, v0=mesh.v0 + delta,
+                          bvh_min=mesh.bvh_min + delta,
+                          bvh_max=mesh.bvh_max + delta)
+        return _mean_rad(dc.replace(world, mesh=mesh), cam, c)
+
+    eps = 2e-2
+    fd = (float(loss(eps, cfg)) - float(loss(-eps, cfg))) / (2 * eps)
+    order0 = edge_mod.EDGE_KERNEL_ORDER
+    try:
+        edge_mod.EDGE_KERNEL_ORDER = 2
+        jax.clear_caches()
+        g2 = float(jax.grad(lambda d: loss(d, cfg_edge))(0.0))
+        edge_mod.EDGE_KERNEL_ORDER = 1
+        jax.clear_caches()
+        g1 = float(jax.grad(lambda d: loss(d, cfg_edge))(0.0))
+    finally:
+        edge_mod.EDGE_KERNEL_ORDER = order0
+    np.testing.assert_allclose(g2, fd, rtol=0.1)
+    assert 0.80 * abs(fd) < abs(g1) < 0.95 * abs(fd), (g1, fd)
+    assert np.sign(g1) == np.sign(fd)
+
+
 def test_camera_pose_recovery_cornell_mesh():
     # VERDICT r2 item 5 done-criterion: camera-pose recovery in the TRUE
     # Cornell box (mesh walls + boxes): a perturbed camera converges back
