@@ -83,30 +83,17 @@ def _sphere_solid_angle_pdf(center, radius, from_point):
     return pdf, ok, cos_max, to_l, dist2
 
 
-def _nee_mis(world: World, lights: WorldLights, hits, throughput,
-             diffuse_mask, uniforms, t_min, intersector):
-    """One-sample MIS next-event estimation over the unified light table.
-
-    Estimator (balance heuristic, light-sample side): for the uniformly
-    picked light j with solid-angle pdf p_j,
-
-        L += T * albedo/pi * cos_surf * Le / (p_j/L + cos_surf/pi)
-
-    (the 1/pdf and the MIS weight combine into one denominator — no infs for
-    degenerate cones). Uniform slots: 4 = pick, 5/6 = cone angles (sphere) or
-    barycentrics (triangle); identical to the pre-MIS layout.
-    """
+def _nee_direction(lights: WorldLights, p, u4, u5, u6):
+    """The NEE candidate direction + pdf from point p, given the slot
+    uniforms — pure math, split out so diff/edge.py can re-trace the SAME
+    light sample DIFFERENTIABLY through a moving p (shadow-edge term).
+    Returns (ldir unit, pdf_j, valid, row, exp_prim, is_tri)."""
     n_lights = lights.n_total
     ns = lights.n_sphere
-    u4, u5, u6 = uniforms[:, 4], uniforms[:, 5], uniforms[:, 6]
-
     pick = jnp.clip((u4 * n_lights).astype(jnp.int32), 0, n_lights - 1)
     row = lights.table[pick]                               # [N,16]
     exp_prim = lights.expected_prim[pick]
     is_tri = pick >= ns
-
-    p = hits.point
-    normal = hits.normal
 
     # --- sphere light: cone sample (RayTracer-free extension) ---
     lc, lr = row[:, 0:3], row[:, 3]
@@ -142,6 +129,29 @@ def _nee_mis(world: World, lights: WorldLights, hits, throughput,
     ldir = jnp.where(is_tri[:, None], dir_tri, dir_sph)    # unit
     pdf_j = jnp.where(is_tri, pdf_tri, pdf_sph)
     valid = jnp.where(is_tri, ok_tri, ok_sph)
+    return ldir, pdf_j, valid, row, exp_prim, is_tri
+
+
+def _nee_mis(world: World, lights: WorldLights, hits, throughput,
+             diffuse_mask, uniforms, t_min, intersector):
+    """One-sample MIS next-event estimation over the unified light table.
+
+    Estimator (balance heuristic, light-sample side): for the uniformly
+    picked light j with solid-angle pdf p_j,
+
+        L += T * albedo/pi * cos_surf * Le / (p_j/L + cos_surf/pi)
+
+    (the 1/pdf and the MIS weight combine into one denominator — no infs for
+    degenerate cones). Uniform slots: 4 = pick, 5/6 = cone angles (sphere) or
+    barycentrics (triangle); identical to the pre-MIS layout.
+    """
+    n_lights = lights.n_total
+    u4, u5, u6 = uniforms[:, 4], uniforms[:, 5], uniforms[:, 6]
+    p = hits.point
+    normal = hits.normal
+
+    ldir, pdf_j, valid, row, exp_prim, _ = _nee_direction(
+        lights, p, u4, u5, u6)
 
     cos_surf = vm.dot(normal, ldir)
     cand = diffuse_mask & valid & (cos_surf > 0.0)

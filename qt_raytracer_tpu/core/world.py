@@ -156,10 +156,12 @@ def intersect_world(world: World, origins, directions, t_min,
         # come back as mesh-miss, which the merge below reproduces exactly.
         # Kernel choice (QTRT_MESH_KERNEL): "clustered" (default) is the
         # union-gated sweep; "pairs" is the bitwise-identical pair-wavefront
-        # path — MEASURED SLOWER (911 vs 208 ms on the incoherent 414Ki
-        # batch): XLA scatters price its compaction off TPU
-        # (docs/PERFORMANCE.md round-2 mesh campaign). Kept as a tested
-        # variant pending a kernel-side compactor.
+        # path, rebuilt in round 4 on sort-based compaction (2.9x its
+        # round-3 cost) — still MEASURED SLOWER end-to-end (319 vs
+        # 119-144 ms per incoherent 414Ki batch: composition/relayout tax,
+        # docs/PERFORMANCE.md round-4 tables). Tested variant, not default.
+        # The flat integrator additionally supports a per-bounce "hybrid"
+        # policy (integrator_flat._world_hit_flat).
         if os.environ.get("QTRT_MESH_KERNEL", "clustered") == "pairs":
             from ..kernels.mesh_pairs import mesh_search_pairs as _search
         else:

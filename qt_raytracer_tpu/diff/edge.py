@@ -53,7 +53,23 @@ triangle catches the excluded ray, so L_fg − L_bg ≈ 0 and the term
 vanishes; at a true visibility boundary (object silhouette, or a convex
 crease where the winner flips between faces) the re-trace reveals the
 occluded geometry and the jump is exactly the discontinuity the detached
-estimator dropped. Secondary-bounce edges remain future work.
+estimator dropped.
+
+Round 4 adds the FIRST-VERTEX NEE SHADOW-EDGE term (the in-function block
+below): the pathwise estimator also detaches the shadow ray's visibility,
+dropping the gradient of shadows sweeping across receivers. The same
+screen-space machinery applies — the shadow boundary on the receiver is a
+curve in image space, parameterized by the BLOCKER's interior margin along
+the mirrored NEE shadow ray through the differentiably re-derived hit
+point x1(i, j). FD-validated in isolation (tests/test_shadow_edge.py: 93%
+capture of a pure shadow-sweep gradient that plain pathwise and the
+silhouette-only term both put at exactly 0). Shadow/silhouette
+discontinuities at vertex 2+ (seen via a bounce) remain unmodeled; on the
+enclosed Cornell the measured total residual vs FD is dominated not by
+those but by kernel-width ATTRIBUTION bias at tiny feature scales (the
+2-3-px ceiling light at 48x32 — benchmarks/secondary_edge_bound.py and
+the ledger entry), and pose recovery converges regardless
+(tests/test_mesh_edge_gradients.py, config 5).
 
 No reference counterpart (the reference is forward-only).
 """
@@ -200,6 +216,13 @@ def sample_radiance_edge_aware(scene, camera, cfg: RenderConfig,
         widx = jnp.clip(prim0, 0, ns - 1)
         centers = scene.center[widx]              # differentiable gathers
         radii = scene.radius[widx]
+        shadow_backend = "pallas_interpret" if interp else "pallas"
+        hit0 = h0f["t"][:n] < BIG
+        p0_det = jnp.stack([h0f["px"][:n], h0f["py"][:n], h0f["pz"][:n]], 1)
+        n0_det = jnp.stack([h0f["nx"][:n], h0f["ny"][:n], h0f["nz"][:n]], 1)
+        alb0_det = jnp.stack([h0f["ax"][:n], h0f["ay"][:n],
+                              h0f["az"][:n]], 1)
+        diffuse0 = hit0 & (h0f["mat"][:n] == 0)   # LAMBERTIAN == 0
     else:
         # General path (mesh worlds / non-fused intersectors). ALL THREE
         # traces must share one intersector so bounce-0 winner selection is
@@ -225,6 +248,12 @@ def sample_radiance_edge_aware(scene, camera, cfg: RenderConfig,
             widx = jnp.clip(h0.prim_idx, 0, ns - 1)
             centers = world.spheres.center[widx]  # differentiable gathers
             radii = world.spheres.radius[widx]
+        shadow_backend = wb
+        hit0 = h0.hit
+        p0_det = jax.lax.stop_gradient(h0.point)
+        n0_det = jax.lax.stop_gradient(h0.normal)
+        alb0_det = jax.lax.stop_gradient(h0.albedo)
+        diffuse0 = h0.hit & (h0.mat_type == 0)    # LAMBERTIAN == 0
 
     if world.mesh is not None:
         nt = world.mesh.num_triangles
@@ -272,4 +301,127 @@ def sample_radiance_edge_aware(scene, camera, cfg: RenderConfig,
 
     delta = jax.lax.stop_gradient(l_full - l_bg)
     edge = (w * (sd - sd_det))[:, None] * delta
+
+    # --- NEE shadow-edge boundary term (first vertex) -------------------
+    # The pathwise estimator detaches the shadow ray's visibility V(x1, y),
+    # so as x1 sweeps across a shadow boundary (camera/geometry motion)
+    # the direct-light jump contributes no gradient. Measured on the mesh
+    # Cornell at depth 1 (benchmarks/secondary_edge_bound.py): a 48%
+    # pose-gradient deficit on the axis that drags x1 across the box
+    # shadows. Same screen-space machinery as the silhouette term: the
+    # shadow boundary on the receiver is a curve in IMAGE space — the
+    # BLOCKER's interior margin along the shadow ray, as a function of
+    # pixel coords through the DIFFERENTIABLY re-derived x1(i, j) and the
+    # mirrored NEE light sample (same STREAM_BOUNCE0 slots 4-6 as
+    # integrator._nee_mis, so the modeled jump is exactly the one l_full's
+    # estimator experiences). delta_L = the occluded NEE contribution
+    # (throughput = 1 at the first vertex), with fg = blocked (current):
+    # (L_fg - L_bg) = -contrib. Deeper-vertex shadow/silhouette terms
+    # remain unmodeled; their measured residual bound is in the ledger.
+    do_shadow = cfg.nee and _os.environ.get("QTRT_EDGE_SHADOW", "1") != "0"
+    if do_shadow:
+        from ..core.integrator import INV_PI, _nee_direction
+        from ..core.world import world_lights
+
+        lights = world_lights(world)
+    if do_shadow and lights.n_total > 0:
+        u_b0 = sampling.stream_uniforms(samp_keys, sampling.STREAM_BOUNCE0,
+                                        sampling.UNIFORMS_PER_BOUNCE)
+        u4, u5, u6 = u_b0[:, 4], u_b0[:, 5], u_b0[:, 6]
+
+        ldir0, pdf_j, valid_l, row_l, exp_prim, _ = _nee_direction(
+            lights, p0_det, u4, u5, u6)
+        cos_surf = vm.dot(n0_det, ldir0)
+        cand = (jax.lax.stop_gradient(diffuse0)
+                & jax.lax.stop_gradient(valid_l)
+                & (jax.lax.stop_gradient(cos_surf) > 0.0))
+        shadow = intersect_world(world, p0_det,
+                                 jax.lax.stop_gradient(ldir0), cfg.t_min,
+                                 backend=shadow_backend, alive=cand)
+        lit = cand & shadow.hit & (shadow.prim_idx == exp_prim)
+        blocked = cand & shadow.hit & ~lit
+
+        pdf_nee = pdf_j / lights.n_total
+        denom = pdf_nee + cos_surf * INV_PI
+        den_f = jnp.where(cand, jnp.maximum(denom, 1e-30), 1.0)
+        factor = jnp.where(cand, cos_surf * INV_PI / den_f, 0.0)
+        contrib = jax.lax.stop_gradient(
+            alb0_det * factor[:, None] * row_l[:, 9:12])
+
+        # Blocker geometry (differentiable gathers: geometry recovery
+        # sees its own shadow's motion).
+        bidx = jax.lax.stop_gradient(shadow.prim_idx)
+        if world.mesh is not None:
+            nt = world.mesh.num_triangles
+            btidx = jnp.clip(bidx - ns, 0, nt - 1)
+            bv0 = world.mesh.v0[btidx]
+            be1 = world.mesh.e1[btidx]
+            be2 = world.mesh.e2[btidx]
+        b_tri_det = jax.lax.stop_gradient(blocked & (bidx >= ns))
+        if ns:
+            bwidx = jnp.clip(bidx, 0, ns - 1)
+            b_c = world.spheres.center[bwidx]
+            b_r = world.spheres.radius[bwidx]
+        hit0_det = jax.lax.stop_gradient(hit0)
+        # Winner FAMILY for the re-derive: unlike is_tri_det (which carries
+        # the front_face condition for the silhouette term's one-sidedness),
+        # the hit-point re-derive must follow the geometric winner for
+        # BACK-face hits too (a back-face wall still casts/receives
+        # shadows; keying on is_tri_det silently re-derived those lanes
+        # with the sphere formula — found via the isolated shadow-sweep FD
+        # check, where it flipped the term's sign).
+        is_tri_fam = jax.lax.stop_gradient(
+            jnp.asarray(prim0 >= ns) & hit0_det)
+
+        def x1_of(i_f, j_f):
+            # Differentiable re-derive of the bounce-0 hit point from the
+            # DETACHED winner ids (closed forms; no search).
+            o, d = rays_of(i_f, j_f)
+            if ns:
+                oc = o - centers
+                a = vm.length_squared(d)
+                half_b = vm.dot(oc, d)
+                c2t = vm.length_squared(oc) - radii * radii
+                disc = jnp.maximum(half_b * half_b - a * c2t, 0.0)
+                sq = vm.safe_sqrt(disc)
+                inv_a = 1.0 / jnp.maximum(a, 1e-20)
+                near_t = (-half_b - sq) * inv_a
+                far_t = (-half_b + sq) * inv_a
+                t_hit = jnp.where(near_t >= cfg.t_min, near_t, far_t)
+            else:
+                t_hit = jnp.ones_like(i_f)
+            if world.mesh is not None:
+                pv = jnp.cross(d, te2)
+                dett = vm.dot(pv, te1)
+                okd = jnp.abs(dett) > 1e-12
+                inv_dt = jnp.where(okd, 1.0, 0.0) / jnp.where(okd, dett, 1.0)
+                sv = o - tv0
+                qv = jnp.cross(sv, te1)
+                t_t = vm.dot(qv, te2) * inv_dt
+                t_hit = jnp.where(is_tri_fam, t_t, t_hit)
+            t_hit = jnp.where(hit0_det, jnp.maximum(t_hit, cfg.t_min), 1.0)
+            return o + t_hit[:, None] * d
+
+        def g_sh_of(i_f, j_f):
+            x1 = x1_of(i_f, j_f)
+            ld, _, _, _, _, _ = _nee_direction(lights, x1, u4, u5, u6)
+            g = (_silhouette_g(x1, ld, b_c, b_r) if ns
+                 else jnp.full(i_f.shape, -1.0))
+            if world.mesh is not None:
+                g = jnp.where(b_tri_det,
+                              _tri_interior_g(x1, ld, bv0, be1, be2), g)
+            return g
+
+        g2 = g_sh_of(i, j)
+        _, g2i = jax.jvp(lambda x: g_sh_of(x, j), (i,), (jnp.ones_like(i),))
+        _, g2j = jax.jvp(lambda y: g_sh_of(i, y), (j,), (jnp.ones_like(j),))
+        gp2 = jax.lax.stop_gradient(vm.safe_sqrt(g2i * g2i + g2j * g2j))
+        sd2 = g2 / jnp.maximum(gp2, 1e-20)
+        sd2_det = jax.lax.stop_gradient(sd2)
+        near2 = (blocked & (sd2_det > 0.0) & (sd2_det <= w_px)
+                 & (gp2 > 1e-12))
+        w2 = jnp.where(near2,
+                       _edge_weight(sd2_det, w_px, EDGE_KERNEL_ORDER), 0.0)
+        edge = edge + (w2 * (sd2 - sd2_det))[:, None] * (-contrib)
+
     return l_full + edge

@@ -41,6 +41,7 @@ are re-derived by the caller (core/world.py _tri_t_diff).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -306,7 +307,10 @@ def mesh_search_pairs(mesh: TriangleMesh, origins, directions,
 
     k = num_clusters(mesh.v0.shape[0])
     if pair_budget <= 0:
-        pair_budget = 4 * n
+        # Crossing counts are long-tailed (terrain random wavefront: mean
+        # 1.75 but 15% of rays exceed 4); C=6 cuts the overflow-fallback
+        # population ~3x for ~35% more sort/gather glue.
+        pair_budget = int(os.environ.get("QTRT_PAIR_C", "6")) * n
     c_max = min(max(pair_budget // n, 1), k)
 
     # --- 1. emission: per-ray ascending crossed-cluster lists from the
@@ -405,14 +409,17 @@ def mesh_search_pairs(mesh: TriangleMesh, origins, directions,
     t_res = tmin
     i_res = jnp.where(imin < num_tris, imin, 0)
 
-    # --- 5. overflow fallback through the clustered kernel. sort=False:
-    # in the no-overflow common case the mask is ALL-false, every group is
-    # dead and skipped, and the coherence sort would only add its
-    # argsort+gather tax per call; genuine overflow (pathological crossing
-    # counts) pays one unsorted sweep for the affected rays.
+    # --- 5. overflow fallback through the clustered kernel, SORTED:
+    # long-tailed crossing counts make overflow rays common (terrain
+    # random wavefront: 15% of rays exceed C=4), and 15% spread over the
+    # wavefront leaves a live lane in nearly every 128-ray group — an
+    # UNSORTED fallback sweep ran at almost full cost (the 586 ms mystery,
+    # benchmarks/pairs_v2_profile.py). The dead-last sort packs overflow
+    # rays into a few dense groups, making the fallback proportional to
+    # the overflow fraction for one argsort+gather pass (~10 ms).
     t_fb, i_fb = mesh_search_pallas(
         mesh, origins, directions, t_min, interpret=interpret,
-        alive=unsafe, t_cap=tcap, sort=False)
+        alive=unsafe, t_cap=tcap, sort=True)
     t_res = jnp.where(unsafe, t_fb, t_res)
     i_res = jnp.where(unsafe, i_fb, i_res)
     return t_res, i_res
