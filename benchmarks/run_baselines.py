@@ -288,7 +288,10 @@ def config5_mesh(scale, steps=60, views=2):
 
     w = max(int(1920 * scale), 64)
     h = max(int(1080 * scale), 36)
-    cfg_train = RenderConfig(width=w, height=h, spp=2, max_depth=4,
+    # spp=1 training renders: a 2-view edge-aware mesh step at 1080p spp 2
+    # would exceed the axon ~15 s single-call limit (512^2 single-view
+    # measured 2.59 s/step; 1080p is 4x the pixels).
+    cfg_train = RenderConfig(width=w, height=h, spp=1, max_depth=4,
                              rng="hash", nee=True, samples_per_batch=1,
                              edge_aware=True)
     cfg_target = dc.replace(cfg_train, spp=max(int(32 * min(scale, 1.0)), 8),
@@ -368,7 +371,9 @@ def main():
         config5(s, steps=args.steps, albedo_lr=args.albedo_lr,
                 views=args.views)
         if args.mesh_world:
-            config5_mesh(s, steps=args.steps)
+            # Pose-only recovery converges in ~40 steps; each 1080p 2-view
+            # edge-aware mesh step costs ~10-15 s on chip, so cap it.
+            config5_mesh(s, steps=min(args.steps, 40))
 
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: c5}
     for c in args.configs:

@@ -175,14 +175,24 @@ def render_linear(
     spb = cfg.samples_per_batch
     num_batches = cfg.spp // spb
 
+    # Rematerialize each sample-batch's trace: identical program for
+    # forward-only renders, but under differentiation the backward
+    # recomputes one batch at a time instead of saving EVERY
+    # (chunk, batch, bounce) residual simultaneously — the chunked
+    # backward materialized [chunks, batches, depth, chunk_rays] HLO
+    # temps and OOMed HBM at 1080p multi-view training (config 5 at
+    # spec; ~20 x 63 MB temps measured in the OOM report).
+    @jax.checkpoint
+    def _one_batch(scene, camera, pix_keys_c, i_c, j_c, batch_idx):
+        if spb == 1:
+            return _sample_radiance(scene, camera, cfg, pix_keys_c,
+                                    i_c, j_c, batch_idx)
+        return _merged_batch_radiance(scene, camera, cfg, pix_keys_c,
+                                      i_c, j_c, batch_idx, spb)
+
     def render_chunk(pix_keys_c, i_c, j_c):
         def batch_step(accum, batch_idx):
-            if spb == 1:
-                out = _sample_radiance(scene, camera, cfg, pix_keys_c,
-                                       i_c, j_c, batch_idx)
-            else:
-                out = _merged_batch_radiance(scene, camera, cfg, pix_keys_c,
-                                             i_c, j_c, batch_idx, spb)
+            out = _one_batch(scene, camera, pix_keys_c, i_c, j_c, batch_idx)
             return accum + out, None
 
         accum = jnp.zeros((i_c.shape[0], 3), jnp.float32)
