@@ -1,11 +1,12 @@
 """Pallas TPU kernel: pair-wavefront triangle-mesh closest hit.
 
 The clustered sweep (mesh_intersect.py) gates cluster visits by the UNION
-over each 128-ray group: the measured per-RAY box-crossing count on the
-100k-tri terrain is ~1.7, yet sorted groups still visit ~42 clusters — a
-~25x granularity waste (docs/PERFORMANCE.md speed-of-light section calls
-this the frontier). This module removes the union entirely by turning the
-traversal inside out, the TPU analog of a GPU ray-queue:
+over each 128-ray group: on the 100k-tri terrain, crossing-sorted groups
+visit ~16 clusters where the per-ray crossing count is 1.7 (incoherent;
+~13 vs 8.9 coherent) — up to ~10x of granularity waste on bounce
+wavefronts (exact counts: docs/PERFORMANCE.md round-4 gate tables). This
+module removes the union entirely by turning the traversal inside out,
+the TPU analog of a GPU ray-queue:
 
   1. XLA prologue: slab-test every (ray, cluster) pair against the
      sphere-capped slack bound (the exact per-lane gate the clustered
