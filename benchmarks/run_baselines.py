@@ -297,15 +297,23 @@ def config5_mesh(scale, steps=60, views=1):
     cfg_train = RenderConfig(width=w, height=h, spp=2, max_depth=4,
                              rng="hash", nee=True, samples_per_batch=1,
                              edge_aware=True)
-    cfg_target = dc.replace(cfg_train, spp=max(int(32 * min(scale, 1.0)), 8),
-                            edge_aware=False)
+    cfg_target = dc.replace(cfg_train, edge_aware=False)
     world = meshes.cornell_box_world()
     base_cam = meshes.cornell_box_mesh_camera(cfg_train.aspect_ratio)
     true_cams = orbit_cameras(base_cam,
                               [(0.0, 0.0, 0.0), (0.4, 0.15, 0.0)][:views])
+    # SAME-KEY targets (the methodology of the passing recovery test,
+    # tests/test_mesh_edge_gradients.py): the loss is exactly 0 at the
+    # true pose, so the optimization landscape has no fixed-noise floor.
+    # With independent-seed spp-32 targets the spp-2 fixed-key L2 sits at
+    # a ~0.18 variance floor that drowns the pose signal (measured: pose
+    # 0.1 -> 0.12 after 60 steps, loss flat).
+    from qt_raytracer_tpu.diff.inverse import mean_image
+    key = jax.random.PRNGKey(11)
     t_targets = time.perf_counter()
-    targets = render_targets(world, true_cams, cfg_target, seed=11,
-                             spp_per_call=4)
+    targets = jnp.stack([
+        mean_image(world, c, cfg_target, jax.random.fold_in(key, v))
+        for v, c in enumerate(true_cams)])
     jax.block_until_ready(targets)
     print(f"# config5_mesh targets rendered: "
           f"{time.perf_counter() - t_targets:.0f}s",
