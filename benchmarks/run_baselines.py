@@ -167,7 +167,8 @@ def config4(scale):
     _bench_render("4_terrain_100k_tris", world, cam, cfg)
 
 
-def config5(scale, steps=60, albedo_lr=0.03, views=4):
+def config5(scale, steps=60, albedo_lr=0.03, views=4,
+            same_key_targets=False):
     """BASELINE configs[4] at its LITERAL spec: recover albedo + EMITTER
     radiance + per-view CAMERA pose by gradient descent on multi-view
     renders (M=4 views, 1920x1080 at scale 1), edge-aware silhouette
@@ -200,11 +201,28 @@ def config5(scale, steps=60, albedo_lr=0.03, views=4):
                                          (-0.5, 0.1, 0.0),
                                          (0.0, 0.3, -0.3)][:views])
     t_targets = time.perf_counter()
-    targets = render_targets(true_scene, true_cams, cfg_target, seed=7,
-                             spp_per_call=8)
+    if same_key_targets:
+        # Same-key targets at the TRAIN spp (the methodology of the
+        # recovery tests): loss is EXACTLY 0 at the true parameters, so
+        # there is neither a fixed-speckle noise-fit floor (measured
+        # albedo plateau 0.13-0.14 against independent high-spp targets)
+        # nor the variance penalty of per-step resampling.
+        import jax.numpy as _jnp
+
+        from qt_raytracer_tpu.diff.inverse import mean_image
+        k0 = jax.random.PRNGKey(7)
+        cfg_t = dc.replace(cfg_train, edge_aware=False)
+        targets = _jnp.stack([
+            mean_image(true_scene, c, cfg_t, jax.random.fold_in(k0, v))
+            for v, c in enumerate(true_cams)])
+    else:
+        targets = render_targets(true_scene, true_cams, cfg_target, seed=7,
+                                 spp_per_call=8)
     jax.block_until_ready(targets)
     print(f"# config5 targets rendered ({len(true_cams)} views, "
-          f"{cfg_target.spp} spp): {time.perf_counter() - t_targets:.0f}s",
+          f"{cfg_train.spp if same_key_targets else cfg_target.spp} spp, "
+          f"same_key={same_key_targets}): "
+          f"{time.perf_counter() - t_targets:.0f}s",
           file=sys.stderr, flush=True)
 
     # Perturbations: ball albedo, light radiance, per-view rigid pose.
@@ -373,6 +391,10 @@ def main():
     ap.add_argument("--mesh-world", action="store_true",
                     help="config 5: also run the TRUE-Cornell mesh-world "
                          "pose-recovery line (5_inverse_mesh_world)")
+    ap.add_argument("--same-key-targets", action="store_true",
+                    help="config 5: targets rendered at the train spp "
+                         "with the training keys (loss exactly 0 at "
+                         "truth; kills the fixed-key noise-fit floor)")
     args = ap.parse_args()
     enable_compilation_cache()
     global ORACLE_FULL
@@ -380,7 +402,7 @@ def main():
 
     def c5(s):
         config5(s, steps=args.steps, albedo_lr=args.albedo_lr,
-                views=args.views)
+                views=args.views, same_key_targets=args.same_key_targets)
         if args.mesh_world:
             # Pose-only recovery converges in ~40 steps; each 1080p 2-view
             # edge-aware mesh step costs ~10-15 s on chip, so cap it.
