@@ -167,8 +167,35 @@ def config4(scale):
     _bench_render("4_terrain_100k_tris", world, cam, cfg)
 
 
+def _at_spec(w, h, views):
+    """BASELINE configs[4] literal spec: 1080p multi-view renders."""
+    return bool(w == 1920 and h == 1080 and views >= 2)
+
+
+def _maybe_resume(state, checkpoint, resume, tag):
+    """Restore a TrainState from an orbax checkpoint dir if present.
+
+    Returns (state, start_step). The checkpoint carries params + optimizer
+    moments + step (diff/inverse.save_train_state), so a resumed run
+    continues the EXACT trajectory: the step key is fixed across
+    iterations, so step k's render is identical whichever session runs it.
+    """
+    import pathlib as _pl
+
+    from qt_raytracer_tpu.diff.inverse import load_train_state
+
+    if checkpoint and resume and _pl.Path(checkpoint).exists():
+        state = load_train_state(checkpoint, state)
+        start = int(state.step)
+        print(f"# {tag} resumed from step {start} ({checkpoint})",
+              file=sys.stderr, flush=True)
+        return state, start
+    return state, 0
+
+
 def config5(scale, steps=60, albedo_lr=0.03, views=4,
-            same_key_targets=False):
+            same_key_targets=False, checkpoint=None, resume=False,
+            ckpt_every=20):
     """BASELINE configs[4] at its LITERAL spec: recover albedo + EMITTER
     radiance + per-view CAMERA pose by gradient descent on multi-view
     renders (M=4 views, 1920x1080 at scale 1), edge-aware silhouette
@@ -249,69 +276,91 @@ def config5(scale, steps=60, albedo_lr=0.03, views=4,
     # estimator matches FD of the same fixed-key render, and re-sampling
     # per step turns the L2 of a noisy forward into a variance penalty
     # that biases the emitter DOWN (see tests/test_multiview.py note).
-    key = jax.random.PRNGKey(7)
-    state = init_state()
-    t_c = time.perf_counter()
-    state, _ = step_fn(state, targets, key)  # compile
-    jax.block_until_ready(state)
-    print(f"# config5 step compiled: {time.perf_counter() - t_c:.0f}s",
-          file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    for it in range(steps):
-        state, loss = step_fn(state, targets, key)
-        if (it + 1) % 10 == 0:
-            print(f"# config5 step {it + 1}/{steps} "
-                  f"loss={float(loss):.5f}", file=sys.stderr, flush=True)
-    jax.block_until_ready(state)
-    dt = (time.perf_counter() - t0) / steps
+    from qt_raytracer_tpu.diff.inverse import save_train_state
 
-    rec = rebuild_scene(state.params["scene"])
-    alb_err = float(jnp.abs(rec.albedo[6] - true_scene.albedo[6]).max())
-    emi_err = float(jnp.abs(rec.emission[5] - true_scene.emission[5]).max())
-    tr = np.asarray(state.params["camera"]["translate"])
-    pose_errs = np.abs(tr + np.asarray(pose_err)).max(axis=1)
+    def errs(st):
+        rec = rebuild_scene(st.params["scene"])
+        a = float(jnp.abs(rec.albedo[6] - true_scene.albedo[6]).max())
+        e = float(jnp.abs(rec.emission[5] - true_scene.emission[5]).max())
+        tr = np.asarray(st.params["camera"]["translate"])
+        p = float(np.abs(tr + np.asarray(pose_err)).max(axis=1).max())
+        return a, e, p
+
+    key = jax.random.PRNGKey(7)
+    state, start_step = _maybe_resume(init_state(), checkpoint, resume,
+                                      "config5")
+    loss, t0, timed0 = None, None, None
+    t_c = time.perf_counter()
+    while int(state.step) < steps:
+        state, loss = step_fn(state, targets, key)
+        if t0 is None:   # first in-session call pays (cached) compile
+            jax.block_until_ready(state)
+            print(f"# config5 first step (incl. compile): "
+                  f"{time.perf_counter() - t_c:.0f}s",
+                  file=sys.stderr, flush=True)
+            t0, timed0 = time.perf_counter(), int(state.step)
+        s = int(state.step)
+        if s % 10 == 0:
+            a, e, p = errs(state)
+            print(f"# config5 step {s}/{steps} loss={float(loss):.5f} "
+                  f"albedo={a:.4f} emission={e:.4f} pose={p:.4f}",
+                  file=sys.stderr, flush=True)
+        if checkpoint and s % ckpt_every == 0 and s < steps:
+            save_train_state(checkpoint, state)
+    jax.block_until_ready(state)
+    n_timed = (int(state.step) - timed0) if t0 is not None else 0
+    dt = (time.perf_counter() - t0) / n_timed if n_timed else 0.0
+    if checkpoint and int(state.step) > start_step:
+        save_train_state(checkpoint, state)
+
+    alb_err, emi_err, pose_err_final = errs(state)
     print(json.dumps({
         "config": "5_inverse_multiview", "width": w, "height": h,
         "views": len(true_cams), "spp": cfg_train.spp,
-        "edge_aware": True, "steps": steps + 1,
-        "step_s": round(dt, 4), "final_loss": round(float(loss), 6),
+        "at_spec": _at_spec(w, h, len(true_cams)),
+        "edge_aware": True, "steps": int(state.step),
+        "resumed_from_step": start_step,
+        "step_s": round(dt, 4),
+        "final_loss": round(float(loss), 6) if loss is not None else None,
         "albedo_max_err": round(alb_err, 4),
         "emission_max_err": round(emi_err, 4),
         "pose_err_start": round(float(np.abs(np.asarray(pose_err)).max()), 4),
-        "pose_max_err": round(float(pose_errs.max()), 4),
+        "pose_max_err": round(pose_err_final, 4),
         "backend": jax.default_backend(),
     }))
 
 
-def config5_mesh(scale, steps=60, views=1):
+def config5_mesh(scale, steps=60, views=2, checkpoint=None, resume=False,
+                 ckpt_every=20):
     """Config-5 mesh-world recovery line: camera-pose recovery in the TRUE
     Cornell box (triangle walls + boxes + emissive area quad, NEE+MIS)
     from multi-view 1920x1080-at-scale-1 renders, edge-aware silhouette
     gradients through the Pallas mesh kernel's per-lane exclusion operands
     (the xla path OOMs at this size — docs/PERFORMANCE.md edge-step table).
     Pose is the trainable family here (the scene-field lines are covered at
-    full joint scope by 5_inverse_multiview above)."""
+    full joint scope by 5_inverse_multiview above).
+
+    Execution shape: PER-VIEW device calls (make_multiview_train_step_perview)
+    — one jitted value_and_grad per view with on-device grad accumulation,
+    so each device call stays at single-view cost (~10.5 s at 1080p spp 2)
+    under the axon ~15 s limit for ANY view count. The round-4 single-call
+    scanned step capped the line at 1 view at spec resolution, where pose
+    stalls in the single-view speckle-decorrelation plateau; view averaging
+    conditions + denoises the pose gradient (the 4-view sphere line
+    converges at 1080p for exactly this reason)."""
     import dataclasses as dc
 
     import jax.numpy as jnp
     import optax
 
     from qt_raytracer_tpu import RenderConfig
-    from qt_raytracer_tpu.diff.multiview import (make_multiview_train_step,
-                                                 orbit_cameras,
-                                                 render_targets,
-                                                 translate_camera)
+    from qt_raytracer_tpu.diff.multiview import (
+        make_multiview_train_step_perview, orbit_cameras, translate_camera)
     from qt_raytracer_tpu.models import meshes
     from qt_raytracer_tpu.parallel.sharding import make_mesh
 
     w = max(int(1920 * scale), 64)
     h = max(int(1080 * scale), 36)
-    # One view at spp 2: the passing recovery regime
-    # (tests/test_mesh_edge_gradients.py pose test) scaled to 1080p while
-    # staying under the axon ~15 s single-call limit — 2 views x spp 1 was
-    # measured to DIVERGE (pose 0.1 -> 0.23: the fixed-key 1-spp L2 sits
-    # at its variance floor, loss ~0.30 flat), and 2 views x spp 2 would
-    # exceed the call limit (~21 s).
     cfg_train = RenderConfig(width=w, height=h, spp=2, max_depth=4,
                              rng="hash", nee=True, samples_per_batch=1,
                              edge_aware=True)
@@ -319,14 +368,15 @@ def config5_mesh(scale, steps=60, views=1):
     world = meshes.cornell_box_world()
     base_cam = meshes.cornell_box_mesh_camera(cfg_train.aspect_ratio)
     true_cams = orbit_cameras(base_cam,
-                              [(0.0, 0.0, 0.0), (0.4, 0.15, 0.0)][:views])
+                              [(0.0, 0.0, 0.0), (0.4, 0.15, 0.0),
+                               (-0.35, 0.2, 0.1)][:views])
     # SAME-KEY targets (the methodology of the passing recovery test,
     # tests/test_mesh_edge_gradients.py): the loss is exactly 0 at the
     # true pose, so the optimization landscape has no fixed-noise floor.
     # With independent-seed spp-32 targets the spp-2 fixed-key L2 sits at
     # a ~0.18 variance floor that drowns the pose signal (measured: pose
     # 0.1 -> 0.12 after 60 steps, loss flat).
-    from qt_raytracer_tpu.diff.inverse import mean_image
+    from qt_raytracer_tpu.diff.inverse import mean_image, save_train_state
     key = jax.random.PRNGKey(11)
     t_targets = time.perf_counter()
     targets = jnp.stack([
@@ -342,31 +392,46 @@ def config5_mesh(scale, steps=60, views=1):
     mesh = None
     if len(jax.devices()) > 1:
         mesh = make_mesh(sp=1)
-    init_state, step_fn, _, _ = make_multiview_train_step(
+    init_state, step_fn, _, _ = make_multiview_train_step_perview(
         world, start_cams, cfg_train, optax.adam(2.5e-2),
         trainable=(), train_camera="pose", mesh=mesh, edge_aware=True)
     key = jax.random.PRNGKey(11)
-    state = init_state()
+    state, start_step = _maybe_resume(init_state(), checkpoint, resume,
+                                      "config5_mesh")
+    loss, t0, timed0 = None, None, None
     t_c = time.perf_counter()
-    state, _ = step_fn(state, targets, key)
-    jax.block_until_ready(state)
-    print(f"# config5_mesh step compiled: {time.perf_counter() - t_c:.0f}s",
-          file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    for it in range(steps):
+    while int(state.step) < steps:
         state, loss = step_fn(state, targets, key)
-        if (it + 1) % 10 == 0:
-            print(f"# config5_mesh step {it + 1}/{steps} "
-                  f"loss={float(loss):.5f}", file=sys.stderr, flush=True)
+        if t0 is None:
+            jax.block_until_ready(state)
+            print(f"# config5_mesh first step (incl. compile): "
+                  f"{time.perf_counter() - t_c:.0f}s",
+                  file=sys.stderr, flush=True)
+            t0, timed0 = time.perf_counter(), int(state.step)
+        s = int(state.step)
+        if s % 10 == 0:
+            tr = np.asarray(state.params["camera"]["translate"])
+            p = float(np.abs(tr + np.asarray(pose_err)).max(axis=1).max())
+            print(f"# config5_mesh step {s}/{steps} "
+                  f"loss={float(loss):.5f} pose={p:.4f}",
+                  file=sys.stderr, flush=True)
+        if checkpoint and s % ckpt_every == 0 and s < steps:
+            save_train_state(checkpoint, state)
     jax.block_until_ready(state)
-    dt = (time.perf_counter() - t0) / steps
+    n_timed = (int(state.step) - timed0) if t0 is not None else 0
+    dt = (time.perf_counter() - t0) / n_timed if n_timed else 0.0
+    if checkpoint and int(state.step) > start_step:
+        save_train_state(checkpoint, state)
     tr = np.asarray(state.params["camera"]["translate"])
     pose_errs = np.abs(tr + np.asarray(pose_err)).max(axis=1)
     print(json.dumps({
         "config": "5_inverse_mesh_world", "width": w, "height": h,
         "views": len(true_cams), "spp": cfg_train.spp, "nee": True,
-        "edge_aware": True, "steps": steps + 1,
-        "step_s": round(dt, 4), "final_loss": round(float(loss), 6),
+        "at_spec": _at_spec(w, h, len(true_cams)),
+        "edge_aware": True, "steps": int(state.step),
+        "resumed_from_step": start_step, "per_view_calls": True,
+        "step_s": round(dt, 4),
+        "final_loss": round(float(loss), 6) if loss is not None else None,
         "pose_err_start": round(float(np.abs(np.asarray(pose_err)).max()), 4),
         "pose_max_err": round(float(pose_errs.max()), 4),
         "backend": jax.default_backend(),
@@ -395,18 +460,36 @@ def main():
                     help="config 5: targets rendered at the train spp "
                          "with the training keys (loss exactly 0 at "
                          "truth; kills the fixed-key noise-fit floor)")
+    ap.add_argument("--mesh-world-only", action="store_true",
+                    help="config 5: run ONLY the mesh-world line")
+    ap.add_argument("--mesh-views", type=int, default=2,
+                    help="config 5 mesh-world: number of views (per-view "
+                         "device calls, so any count fits the call limit)")
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="config 5: orbax checkpoint dir (absolute); the "
+                         "train state is saved every --ckpt-every steps "
+                         "and at the end (mesh-world line uses "
+                         "<checkpoint>_mesh)")
+    ap.add_argument("--resume", action="store_true",
+                    help="config 5: resume from --checkpoint if it exists")
+    ap.add_argument("--ckpt-every", type=int, default=20)
     args = ap.parse_args()
     enable_compilation_cache()
     global ORACLE_FULL
     ORACLE_FULL = args.oracle_full
 
     def c5(s):
-        config5(s, steps=args.steps, albedo_lr=args.albedo_lr,
-                views=args.views, same_key_targets=args.same_key_targets)
-        if args.mesh_world:
-            # Pose-only recovery converges in ~40 steps; each 1080p 2-view
-            # edge-aware mesh step costs ~10-15 s on chip, so cap it.
-            config5_mesh(s, steps=min(args.steps, 40))
+        if not args.mesh_world_only:
+            config5(s, steps=args.steps, albedo_lr=args.albedo_lr,
+                    views=args.views,
+                    same_key_targets=args.same_key_targets,
+                    checkpoint=args.checkpoint, resume=args.resume,
+                    ckpt_every=args.ckpt_every)
+        if args.mesh_world or args.mesh_world_only:
+            ck = args.checkpoint + "_mesh" if args.checkpoint else None
+            config5_mesh(s, steps=args.steps, views=args.mesh_views,
+                         checkpoint=ck, resume=args.resume,
+                         ckpt_every=args.ckpt_every)
 
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: c5}
     for c in args.configs:

@@ -101,9 +101,11 @@ class RenderConfig:
         if self.pixel_chunk < -1:
             raise ValueError(f"pixel_chunk must be >= -1, got {self.pixel_chunk}")
         if self.edge_aware and self.samples_per_batch != 1:
-            raise ValueError("edge_aware requires samples_per_batch == 1 "
-                             "(the boundary term needs per-sample pixel "
-                             "coordinates)")
+            # Clamp, don't throw (the reference clamps every panel input,
+            # RayTracerFboItem.cpp:189-228): the boundary term needs
+            # per-sample pixel coordinates, so edge-aware renders trace one
+            # sample per scan step.
+            object.__setattr__(self, "samples_per_batch", 1)
         if self.spp % self.samples_per_batch != 0:
             # round batch down to a divisor of spp so the scan is exact
             spb = self.samples_per_batch

@@ -163,6 +163,102 @@ def make_multiview_train_step(
     return init_state, step_fn, rebuild_scene, rebuild_cameras
 
 
+def make_multiview_train_step_perview(
+    scene,
+    cameras: Sequence[Any],
+    cfg: RenderConfig,
+    optimizer: optax.GradientTransformation,
+    trainable=DEFAULT_TRAINABLE,
+    train_camera: bool | str = "pose",
+    mesh=None,
+    edge_aware: bool = False,
+):
+    """Per-VIEW-device-call variant of make_multiview_train_step.
+
+    Same estimator, same update, different execution shape: instead of one
+    jitted step scanning all M views (one device call of M x view cost —
+    which exceeds the axon ~15 s single-call limit for mesh worlds at
+    1080p beyond 1 view), step_fn issues one jitted value_and_grad call
+    PER VIEW and accumulates gradients on device between calls, then a
+    small jitted optimizer-update call. Each device call stays at
+    single-view cost, so M scales to the wall clock, not the call limit.
+
+    Gradient equivalence with the scanned step: the scanned loss is
+    (1/M) * sum_v loss_v, so d/dp = (1/M) * sum_v d(loss_v)/dp — exactly
+    the mean of the per-view gradients accumulated here (the per-view
+    translate rows are disjoint, scene grads sum over views). The view
+    RNG (fold_in(key, v)) and remat structure match, so per-view renders
+    are identical to the scanned body's.
+
+    Returns (init_state, step_fn, rebuild_scene, rebuild_cameras) with the
+    same step_fn(state, targets [M,H,W,3], key) signature.
+    """
+    cfg = grad_capable_config(cfg)
+    if edge_aware and not cfg.edge_aware:
+        cfg = dataclasses.replace(cfg, edge_aware=True)
+    cameras = tuple(cameras)
+    m = len(cameras)
+    scene_params, rebuild_scene = split_scene(scene, trainable)
+    params = {"scene": scene_params}
+    if train_camera == "pose":
+        params["camera"] = {"translate": jnp.zeros((m, 3), jnp.float32)}
+    elif train_camera:
+        raise ValueError("multiview supports train_camera='pose' or False")
+
+    def rebuild_cameras(p):
+        cp = p.get("camera")
+        if cp is None:
+            return cameras
+        return tuple(translate_camera(cam, cp["translate"][v])
+                     for v, cam in enumerate(cameras))
+
+    cams_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
+
+    @jax.jit
+    def view_value_and_grad(p, cam_v, tgt_v, v, key):
+        # v is a traced scalar: one compile covers every view.
+        def lf(p):
+            sc = rebuild_scene(p["scene"])
+            cp = p.get("camera")
+            tr_v = (cp["translate"][v] if cp is not None
+                    else jnp.zeros(3, jnp.float32))
+            cam = translate_camera(cam_v, tr_v)
+            return image_loss(sc, cam, cfg, jax.random.fold_in(key, v),
+                              tgt_v, mesh)
+        return jax.value_and_grad(lf)(p)
+
+    @jax.jit
+    def apply_update(state: TrainState, grads, loss):
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        if "albedo" in new_params["scene"]:
+            new_params["scene"]["albedo"] = jnp.clip(
+                new_params["scene"]["albedo"], 0.0, 1.0)
+        if "emission" in new_params["scene"]:
+            new_params["scene"]["emission"] = jnp.maximum(
+                new_params["scene"]["emission"], 0.0)
+        return TrainState(new_params, opt_state, state.step + 1), loss
+
+    def init_state():
+        return TrainState(params=params, opt_state=optimizer.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    def step_fn(state: TrainState, targets, key):
+        grads = None
+        total = jnp.float32(0.0)
+        for v in range(m):
+            cam_v = jax.tree.map(lambda x: x[v], cams_stacked)
+            loss_v, g = view_value_and_grad(state.params, cam_v, targets[v],
+                                            jnp.int32(v), key)
+            grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+            total = total + loss_v
+        grads = jax.tree.map(lambda x: x / m, grads)
+        return apply_update(state, grads, total / m)
+
+    return init_state, step_fn, rebuild_scene, rebuild_cameras
+
+
 def orbit_cameras(base_camera, offsets):
     """M camera rig: the base camera rigidly translated by each offset [3]
     (multi-view captures of one scene from nearby vantage points)."""

@@ -120,3 +120,109 @@ def test_multiview_joint_recovery(edge_aware):
         err0 = float(np.abs(np.asarray(pose_err0)).max())
         err = np.abs(t + np.asarray(pose_err0)).max(axis=1)
         assert (err < err0).all(), (err, err0)
+
+
+def test_perview_step_matches_scanned_step():
+    # make_multiview_train_step_perview (one device call per view, grads
+    # accumulated between calls) must compute the SAME update as the
+    # scanned single-call step: the scanned loss is (1/M) sum_v loss_v, so
+    # its gradient equals the mean of the per-view gradients. Tolerance is
+    # f32 reassociation (the accumulation order differs), not bitwise.
+    from qt_raytracer_tpu.diff.multiview import \
+        make_multiview_train_step_perview
+
+    cfg = RenderConfig(width=32, height=24, spp=2, max_depth=3, rng="hash",
+                       nee=True, samples_per_batch=1)
+    scene = _lit_scene()
+    cams = orbit_cameras(_base_camera(cfg.aspect_ratio),
+                         [(0, 0, 0), (0.3, 0.0, 0.0)])
+    targets = render_targets(scene, cams, cfg, seed=3, spp_per_call=2)
+    wrong = dc.replace(scene,
+                       albedo=scene.albedo.at[1].set(
+                           jnp.array([0.2, 0.7, 0.7])))
+    kw = dict(trainable=("albedo", "emission"), train_camera="pose",
+              edge_aware=True)
+    opt = optax.adam(2e-2)
+    init_a, step_a, _, _ = make_multiview_train_step(
+        wrong, cams, cfg, opt, **kw)
+    init_b, step_b, _, _ = make_multiview_train_step_perview(
+        wrong, cams, cfg, opt, **kw)
+    sa, sb = init_a(), init_b()
+    for _ in range(2):
+        sa, loss_a = step_a(sa, targets, KEY)
+        sb, loss_b = step_b(sb, targets, KEY)
+    np.testing.assert_allclose(float(loss_a), float(loss_b),
+                               rtol=1e-5, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b),
+                                                rtol=2e-4, atol=2e-5),
+        sa.params, sb.params)
+
+
+def test_perview_checkpoint_resume_continues_trajectory(tmp_path):
+    # The resume semantics of benchmarks/run_baselines.py config5:
+    # save at step k, restore into a fresh init_state template, continue —
+    # the resumed trajectory must equal the straight-through one (the step
+    # key is fixed, the state carries params + adam moments + step).
+    from qt_raytracer_tpu.diff.inverse import (load_train_state,
+                                               save_train_state)
+    from qt_raytracer_tpu.diff.multiview import \
+        make_multiview_train_step_perview
+
+    cfg = RenderConfig(width=24, height=16, spp=2, max_depth=3, rng="hash",
+                       nee=True, samples_per_batch=1)
+    scene = _lit_scene()
+    cams = orbit_cameras(_base_camera(cfg.aspect_ratio),
+                         [(0, 0, 0), (0.2, 0.1, 0.0)])
+    targets = render_targets(scene, cams, cfg, seed=3, spp_per_call=2)
+    wrong = dc.replace(scene,
+                       albedo=scene.albedo.at[1].set(
+                           jnp.array([0.3, 0.6, 0.7])))
+    init_state, step_fn, _, _ = make_multiview_train_step_perview(
+        wrong, cams, cfg, optax.adam(2e-2),
+        trainable=("albedo",), train_camera="pose", edge_aware=True)
+
+    straight = init_state()
+    for _ in range(4):
+        straight, _ = step_fn(straight, targets, KEY)
+
+    half = init_state()
+    for _ in range(2):
+        half, _ = step_fn(half, targets, KEY)
+    save_train_state(tmp_path / "ck", half)
+    resumed = load_train_state(tmp_path / "ck", init_state())
+    assert int(resumed.step) == 2
+    for _ in range(2):
+        resumed, _ = step_fn(resumed, targets, KEY)
+
+    assert int(resumed.step) == int(straight.step) == 4
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        straight.params, resumed.params)
+
+
+def test_baselines_at_spec_flag():
+    # The recorded config-5 JSON lines must be self-describing about spec
+    # conformance (BASELINE configs[4]: 1080p multi-view): at_spec is true
+    # only at the literal 1920x1080 with >= 2 views.
+    import pathlib
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]
+                           / "benchmarks"))
+    from run_baselines import _at_spec
+    assert _at_spec(1920, 1080, 4) is True
+    assert _at_spec(1920, 1080, 2) is True
+    assert _at_spec(1920, 1080, 1) is False    # single view is sub-spec
+    assert _at_spec(518, 291, 2) is False      # reduced resolution
+    assert _at_spec(960, 540, 4) is False
+
+
+def test_edge_aware_clamps_samples_per_batch():
+    # edge_aware needs per-sample pixel coordinates; the config CLAMPS
+    # samples_per_batch to 1 (the reference clamps panel inputs rather
+    # than throwing, RayTracerFboItem.cpp:189-228).
+    cfg = RenderConfig(width=32, height=24, spp=4, samples_per_batch=4,
+                       edge_aware=True)
+    assert cfg.samples_per_batch == 1
