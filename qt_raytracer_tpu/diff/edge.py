@@ -111,6 +111,16 @@ import os as _os
 EDGE_KERNEL_ORDER = int(_os.environ.get("QTRT_EDGE_KERNEL_ORDER", "1"))
 
 
+def _kernel_order() -> int:
+    """Effective kernel order, resolved at TRACE time (like
+    QTRT_EDGE_SHADOW): the env var wins if set, else the module global
+    (which tests may mutate directly). Changing either after a graph is
+    compiled still needs jax.clear_caches() — the order is baked into the
+    traced weight polynomial."""
+    v = _os.environ.get("QTRT_EDGE_KERNEL_ORDER")
+    return int(v) if v is not None else EDGE_KERNEL_ORDER
+
+
 def _edge_weight(sd_det, w_px: float, order: int):
     """Unit-integral one-sided kernel weight on (0, w_px].
 
@@ -285,7 +295,7 @@ def sample_radiance_edge_aware(scene, camera, cfg: RenderConfig,
     near_edge = ((is_sph | is_tri) & (sd_det > 0.0) & (sd_det <= w_px)
                  & (grad_px > 1e-12))
     w = jnp.where(near_edge,
-                  _edge_weight(sd_det, w_px, EDGE_KERNEL_ORDER), 0.0)
+                  _edge_weight(sd_det, w_px, _kernel_order()), 0.0)
 
     # Background radiance: same rays/streams, winner excluded at bounce 0.
     excl = jnp.where(near_edge, prim0, -1).astype(jnp.int32)
@@ -421,7 +431,7 @@ def sample_radiance_edge_aware(scene, camera, cfg: RenderConfig,
         near2 = (blocked & (sd2_det > 0.0) & (sd2_det <= w_px)
                  & (gp2 > 1e-12))
         w2 = jnp.where(near2,
-                       _edge_weight(sd2_det, w_px, EDGE_KERNEL_ORDER), 0.0)
+                       _edge_weight(sd2_det, w_px, _kernel_order()), 0.0)
         edge = edge + (w2 * (sd2 - sd2_det))[:, None] * (-contrib)
 
     return l_full + edge

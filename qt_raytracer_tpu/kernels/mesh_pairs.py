@@ -280,10 +280,13 @@ def mesh_search_pairs(mesh: TriangleMesh, origins, directions,
     detached — drop-in for mesh_search_pallas (same sphere-cap semantics:
     a lane reports a mesh hit only when a triangle strictly beats t_cap).
 
-    pair_budget: static (ray, cluster) pair capacity; 0 -> 4 pairs/ray
-    (terrain measures ~1.7-2.0 crossings/ray on bounce wavefronts). Rays
-    with MORE than budget/N crossings fall back to the clustered kernel,
-    so the budget trades speed, never correctness.
+    pair_budget: static TOTAL (ray, cluster) pair capacity, interpreted as
+    a per-ray crossing-list width of pair_budget // N (clamped to [1, k]);
+    0 -> QTRT_PAIR_C (default 6) pairs/ray. Terrain measures ~1.7-2.0
+    crossings/ray on bounce wavefronts, so a positive budget below ~2*N
+    puts most rays on the clustered fallback. Rays with MORE than
+    budget//N crossings fall back to the clustered kernel, so the budget
+    trades speed, never correctness.
 
     Round-4 compaction (replaces the refuted jnp.nonzero/scatter pipeline,
     docs/PERFORMANCE.md): per-ray crossing lists with STATIC width C via

@@ -111,14 +111,18 @@ def test_move_matches_fresh_render(setup):
     np.testing.assert_array_equal(v.renderer.image(), fresh.image())
 
 
+@pytest.mark.slow
 def test_run_interactive_termios_loop_under_pty():
     # The REAL raw-mode loop (termios/select plumbing, previously the one
     # untested surface — VERDICT weak item carried from round 2): drive
     # the CLI interactive command inside a pty, let it draw at least one
     # ANSI frame, send a movement key and 'q', and require a clean exit
-    # with restored terminal state.
+    # with restored terminal state. Marked slow: subprocess compile can
+    # take minutes on a cold cache; deselect with -m "not slow".
     import os
-    import pty
+    pty = pytest.importorskip("pty")
+    if not hasattr(pty, "openpty"):
+        pytest.skip("pty.openpty unavailable on this platform")
     import select as sel
     import subprocess
     import sys

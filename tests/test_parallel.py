@@ -83,3 +83,21 @@ def test_spp_not_divisible_raises(setup):
     mesh = make_mesh(sp=3, px=1, devices=jax.devices()[:3])
     with pytest.raises(ValueError, match="not divisible"):
         render_linear_sharded(scene, cam, cfg, key, mesh)
+
+
+def test_sharded_terrain_world_px_bitwise():
+    # The ACTUAL config-4 terrain world (100k tris, real cluster counts)
+    # through render_linear_sharded: px-sharding must be BITWISE invariant
+    # on the mesh path too — the recorded artifact behind "px-sharding is
+    # the linear path past the single-chip mesh plateau"
+    # (docs/PERFORMANCE.md '2 Msamples/s bar' closure; the reference's
+    # tile-pool decomposition being subsumed, RayTracerFboItem.cpp:72-89).
+    from qt_raytracer_tpu.models import meshes
+    cfg = RenderConfig(width=96, height=54, spp=2, max_depth=3, rng="hash")
+    world = meshes.terrain_world()
+    cam = meshes.terrain_camera(cfg.aspect_ratio)
+    key = jax.random.PRNGKey(0)
+    ref = np.asarray(render_linear(world, cam, cfg, key))
+    mesh = make_mesh(sp=1, px=8)
+    img = np.asarray(render_linear_sharded(world, cam, cfg, key, mesh))
+    np.testing.assert_array_equal(img, ref)

@@ -103,3 +103,54 @@ def test_shadow_edge_is_primal_zero():
     a = np.asarray(mean_image(w, cam, cfg, KEY))
     b = np.asarray(mean_image(w, cam, cfg_edge, KEY))
     np.testing.assert_array_equal(a, b)
+
+
+def sphere_shadow_scene(dx: float = 0.0):
+    """All-sphere analog of shadow_world: visible floor sphere; sphere
+    occluder above the camera; emissive sphere light overhead. Neither
+    occluder nor light is in frame, so the shadow sweep carries the whole
+    FD gradient (as in the mesh case)."""
+    b = SceneBuilder()
+    b.lambertian((0.0, -500.5, 0.0), 500.0, (0.8, 0.8, 0.8))   # floor
+    b.lambertian((dx, 4.0, 0.0), 0.5, (0.5, 0.5, 0.5))         # occluder
+    b.emissive((0.0, 8.0, 0.0), 1.0, (12.0, 12.0, 12.0))       # light
+    return b.build(pad_to=8)
+
+
+def test_shadow_edge_sphere_scene_fused_path():
+    # ADVICE r4: exercise the FUSED sphere-scene branch of the shadow term
+    # directly (diff/edge.py use_fused: shadow_backend / p0_det / diffuse0
+    # derived from the fused-hit kernel outputs h0f) — the mesh test above
+    # takes the general path. Routed through fused_diff_interpret so the
+    # fused branch runs on CPU; same isolation methodology.
+    import dataclasses
+
+    cfg = RenderConfig(width=48, height=48, spp=64, max_depth=1, nee=True,
+                       intersector="fused_diff_interpret")
+    cfg_edge = dc.replace(cfg, edge_aware=True)
+    cam = make_camera(lookfrom=(0, 3, 0), lookat=(0, 0, 0.01),
+                      vup=(0, 0, 1), vfov=45.0, aspect_ratio=1.0,
+                      aperture=0.0, focus_dist=3.0)
+    target = mean_image(sphere_shadow_scene(), cam, cfg, KEY)
+
+    def loss(dx, c):
+        sc = sphere_shadow_scene()
+        sc = dataclasses.replace(
+            sc, center=sc.center.at[1].add(
+                jnp.array([BASE_DX, 0.0, 0.0]) + dx * jnp.array([1.0, 0, 0])))
+        img = mean_image(sc, cam, c, KEY)
+        return jnp.mean((img - target) ** 2)
+
+    def loss_fd(dx):
+        img = mean_image(sphere_shadow_scene(BASE_DX + dx), cam, cfg, KEY)
+        return jnp.mean((img - target) ** 2)
+
+    eps = 4e-2
+    fd = (float(loss_fd(eps)) - float(loss_fd(-eps))) / (2 * eps)
+    g_plain = float(jax.grad(lambda d: loss(d, cfg))(0.0))
+    g_edge = float(jax.grad(lambda d: loss(d, cfg_edge))(0.0))
+
+    assert abs(fd) > 1e-4, fd                 # the loss really sees the shadow
+    assert abs(g_plain) < 0.05 * abs(fd), (g_plain, fd)
+    assert np.sign(g_edge) == np.sign(fd), (g_edge, fd)
+    np.testing.assert_allclose(g_edge, fd, rtol=0.35)
