@@ -64,12 +64,15 @@ the mirrored NEE shadow ray through the differentiably re-derived hit
 point x1(i, j). FD-validated in isolation (tests/test_shadow_edge.py: 93%
 capture of a pure shadow-sweep gradient that plain pathwise and the
 silhouette-only term both put at exactly 0). Shadow/silhouette
-discontinuities at vertex 2+ (seen via a bounce) remain unmodeled; on the
-enclosed Cornell the measured total residual vs FD is dominated not by
-those but by kernel-width ATTRIBUTION bias at tiny feature scales (the
-2-3-px ceiling light at 48x32 — benchmarks/secondary_edge_bound.py and
-the ledger entry), and pose recovery converges regardless
-(tests/test_mesh_edge_gradients.py, config 5).
+discontinuities at vertex 2+ (seen via a bounce) remain unmodeled. On the
+enclosed Cornell at 48x32 the round-5 W-sweep
+(benchmarks/adaptive_w_probe.py) measured capture FLAT in the kernel
+width within key noise (41-45% of an FD whose own key spread is ~17%),
+refuting round 4's attribution of the residual to kernel-width bias at
+the tiny ceiling light: whatever is missing there is not W-mediated —
+the unmodeled vertex-2+ boundary terms and FD reference noise carry it
+(ledger entry "Round-5 adaptive-W refutation"). Pose recovery converges
+regardless (tests/test_mesh_edge_gradients.py, config 5).
 
 No reference counterpart (the reference is forward-only).
 """
@@ -109,6 +112,18 @@ EDGE_KERNEL_PX = 1.0
 import os as _os
 
 EDGE_KERNEL_ORDER = int(_os.environ.get("QTRT_EDGE_KERNEL_ORDER", "1"))
+
+
+def _kernel_width() -> float:
+    """Effective kernel width W in pixels, resolved at TRACE time:
+    QTRT_EDGE_KERNEL_PX if set, else the module global. The round-5 W-sweep
+    (benchmarks/adaptive_w_probe.py) measured capture on the small-feature
+    Cornell case nearly flat in W (the premise of feature-scale-adaptive W
+    — see the ledger), so W stays a global knob: 1.0 default, 0.5 with
+    order 2 is the accuracy-leaning setting; below ~0.5 px the estimator
+    is variance-limited at practical spp."""
+    v = _os.environ.get("QTRT_EDGE_KERNEL_PX")
+    return float(v) if v is not None else EDGE_KERNEL_PX
 
 
 def _kernel_order() -> int:
@@ -291,7 +306,7 @@ def sample_radiance_edge_aware(scene, camera, cfg: RenderConfig,
     sd = g / jnp.maximum(grad_px, 1e-20)
     sd_det = jax.lax.stop_gradient(sd)
 
-    w_px = EDGE_KERNEL_PX
+    w_px = _kernel_width()
     near_edge = ((is_sph | is_tri) & (sd_det > 0.0) & (sd_det <= w_px)
                  & (grad_px > 1e-12))
     w = jnp.where(near_edge,

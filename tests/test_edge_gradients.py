@@ -106,6 +106,7 @@ def test_center_gradient_through_squared_loss():
     np.testing.assert_allclose(g_edge, fd, rtol=0.5)
 
 
+@pytest.mark.slow
 def test_edge_aware_fused_path_matches_xla():
     # The fused flat edge path (kernel selection + per-lane exclusion +
     # trace_flat re-derives) must agree with the xla edge path: identical

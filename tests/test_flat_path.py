@@ -161,6 +161,7 @@ def test_flat_matches_standard_statistically(scene_name, nee, rr):
 
 
 # ----------------------------------------------- decomposition invariances
+@pytest.mark.slow
 def test_flat_chunking_is_bitwise_invariant():
     scene, cam = scenes.get_scene("random", 80 / 45)
     key = jax.random.PRNGKey(1)
@@ -187,6 +188,7 @@ def test_flat_sample_batching_is_bitwise_invariant():
     ("icosphere", False),
     ("cornell_mesh", True),
 ])
+@pytest.mark.slow
 def test_flat_world_matches_standard_statistically(scene_name, nee):
     # trace_flat_world is the same estimator on the same stream as the
     # [N,3] World path; only FMA-contraction ulp flips differ (the same
@@ -202,6 +204,7 @@ def test_flat_world_matches_standard_statistically(scene_name, nee):
     assert (d.max(-1) > 1e-3).mean() < 0.08
 
 
+@pytest.mark.slow
 def test_flat_world_cornell_mesh_matches_oracle():
     # (inline _compare_oracle: mesh scene builders take no pad_to kwarg)
     cfg = _cfg(width=12, height=12, spp=2, max_depth=4, nee=True)
@@ -213,6 +216,7 @@ def test_flat_world_cornell_mesh_matches_oracle():
     assert mismatch.mean() <= 0.03, mismatch.mean()
 
 
+@pytest.mark.slow
 def test_flat_world_chunking_is_bitwise_invariant():
     scene, cam = scenes.get_scene("icosphere", 80 / 45)
     key = jax.random.PRNGKey(1)
@@ -299,6 +303,7 @@ def test_fused_diff_forward_and_grads_match_xla():
     np.testing.assert_allclose(gx, gf, atol=1e-7, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_compact_mode_is_bitwise_and_grad_identical():
     # Alive-compaction (trace_flat(compact=True)) permutes lanes per bounce
     # but every per-ray value rides the permutation: images and gradients

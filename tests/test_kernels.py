@@ -4,6 +4,7 @@ TPU in bench/driver runs)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qt_raytracer_tpu import RenderConfig, render_linear
 from qt_raytracer_tpu.core.intersect import BIG, intersect_spheres
@@ -68,6 +69,7 @@ def test_pallas_full_render_matches_xla():
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_clustered_path_matches_xla():
     # >= 1024 spheres triggers the cluster-culled kernel variant (Morton
     # order + per-chunk AABB gates); must agree with XLA exactly.

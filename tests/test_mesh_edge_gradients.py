@@ -121,6 +121,7 @@ def test_mesh_translation_gradient_matches_fd():
     np.testing.assert_allclose(g_edge, fd, rtol=0.3)
 
 
+@pytest.mark.slow
 def test_mesh_edge_gradient_on_kernel_path():
     # The kernel-backed edge path for mesh worlds (pallas selection with
     # per-lane triangle/sphere exclusion — what TPU runs; the xla [N,S]
@@ -147,6 +148,7 @@ def test_mesh_edge_gradient_on_kernel_path():
     np.testing.assert_allclose(g_edge, fd, rtol=0.5)
 
 
+@pytest.mark.slow
 def test_mesh_translation_gradient_bias_pinned_high_spp():
     # Bias-pinning case (round-4 VERDICT item 3): the triangle-family analog
     # of the sphere family's tight test (test_edge_gradients.py). Pure
@@ -194,6 +196,7 @@ def test_mesh_translation_gradient_bias_pinned_high_spp():
     assert np.sign(g1) == np.sign(fd)
 
 
+@pytest.mark.slow
 def test_camera_pose_recovery_cornell_mesh():
     # VERDICT r2 item 5 done-criterion: camera-pose recovery in the TRUE
     # Cornell box (mesh walls + boxes): a perturbed camera converges back

@@ -62,6 +62,7 @@ def test_sort_bitwise_on_live_lanes(setup, mt, mode):
     np.testing.assert_array_equal(i0[alive], i1[alive])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", ["subtile", "sliced", "rowgate"])
 def test_visit_variants_bitwise_equal_full(setup, variant):
     # Every visit variant (sub-tiled MT, gate-sliced MT, per-row AABB

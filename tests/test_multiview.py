@@ -55,6 +55,7 @@ def test_render_targets_matches_mean_image():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("edge_aware", [False, True])
 def test_multiview_joint_recovery(edge_aware):
     # Perturb albedo + emission (+ per-view pose in edge-aware mode); the
@@ -122,6 +123,7 @@ def test_multiview_joint_recovery(edge_aware):
         assert (err < err0).all(), (err, err0)
 
 
+@pytest.mark.slow
 def test_perview_step_matches_scanned_step():
     # make_multiview_train_step_perview (one device call per view, grads
     # accumulated between calls) must compute the SAME update as the
@@ -160,6 +162,7 @@ def test_perview_step_matches_scanned_step():
         sa.params, sb.params)
 
 
+@pytest.mark.slow
 def test_perview_checkpoint_resume_continues_trajectory(tmp_path):
     # The resume semantics of benchmarks/run_baselines.py config5:
     # save at step k, restore into a fresh init_state template, continue —

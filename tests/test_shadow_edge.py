@@ -51,6 +51,7 @@ def _fresh_compile_caches():
     yield                  # mesh edge-gradient module
 
 
+@pytest.mark.slow
 def test_shadow_edge_carries_occluder_gradient():
     cfg = RenderConfig(width=48, height=48, spp=64, max_depth=1, nee=True)
     cfg_edge = dc.replace(cfg, edge_aware=True)
@@ -117,6 +118,7 @@ def sphere_shadow_scene(dx: float = 0.0):
     return b.build(pad_to=8)
 
 
+@pytest.mark.slow
 def test_shadow_edge_sphere_scene_fused_path():
     # ADVICE r4: exercise the FUSED sphere-scene branch of the shadow term
     # directly (diff/edge.py use_fused: shadow_backend / p0_det / diffuse0
