@@ -195,7 +195,8 @@ def _maybe_resume(state, checkpoint, resume, tag):
 
 def config5(scale, steps=60, albedo_lr=0.03, views=4,
             same_key_targets=False, checkpoint=None, resume=False,
-            ckpt_every=20):
+            ckpt_every=20, lr_scale=1.0, reinit_opt=False,
+            reinit_at=-1):
     """BASELINE configs[4] at its LITERAL spec: recover albedo + EMITTER
     radiance + per-view CAMERA pose by gradient descent on multi-view
     renders (M=4 views, 1920x1080 at scale 1), edge-aware silhouette
@@ -263,9 +264,15 @@ def config5(scale, steps=60, albedo_lr=0.03, views=4,
     mesh = None
     if len(jax.devices()) > 1:
         mesh = make_mesh(sp=1)          # all devices on the pixel axis
+    # lr_scale < 1 is the STAGE-2 decay: resume the params from a
+    # converged-coarse checkpoint (--reinit-opt drops the stale adam
+    # moments) and polish with every group's lr scaled down — the measured
+    # stage-1 behavior near the optimum is lr-limited oscillation
+    # (albedo/emission bouncing in a band at constant loss amplitude).
     opt = optax.multi_transform(
-        {"scene": optax.adam(albedo_lr), "emission": optax.adam(0.6),
-         "camera": optax.adam(2.5e-2)},
+        {"scene": optax.adam(albedo_lr * lr_scale),
+         "emission": optax.adam(0.6 * lr_scale),
+         "camera": optax.adam(2.5e-2 * lr_scale)},
         {"scene": {"albedo": "scene", "emission": "emission"},
          "camera": {"translate": "camera"}})
     init_state, step_fn, rebuild_scene, _ = make_multiview_train_step(
@@ -289,6 +296,11 @@ def config5(scale, steps=60, albedo_lr=0.03, views=4,
     key = jax.random.PRNGKey(7)
     state, start_step = _maybe_resume(init_state(), checkpoint, resume,
                                       "config5")
+    if reinit_opt and start_step and (reinit_at < 0
+                                      or start_step == reinit_at):
+        state = state._replace(opt_state=opt.init(state.params))
+        print("# config5 optimizer re-initialized (stage-2, lr_scale="
+              f"{lr_scale})", file=sys.stderr, flush=True)
     loss, t0, timed0 = None, None, None
     t_c = time.perf_counter()
     while int(state.step) < steps:
@@ -473,6 +485,14 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="config 5: resume from --checkpoint if it exists")
     ap.add_argument("--ckpt-every", type=int, default=20)
+    ap.add_argument("--lr-scale", type=float, default=1.0,
+                    help="config 5: scale every lr group (stage-2 decay)")
+    ap.add_argument("--reinit-opt", action="store_true",
+                    help="config 5: on resume, keep params but re-init "
+                         "the optimizer (drop stale adam moments)")
+    ap.add_argument("--reinit-at", type=int, default=-1,
+                    help="only re-init when resuming from EXACTLY this "
+                         "step (so stall-restarts mid-stage keep moments)")
     args = ap.parse_args()
     enable_compilation_cache()
     global ORACLE_FULL
@@ -484,7 +504,8 @@ def main():
                     views=args.views,
                     same_key_targets=args.same_key_targets,
                     checkpoint=args.checkpoint, resume=args.resume,
-                    ckpt_every=args.ckpt_every)
+                    ckpt_every=args.ckpt_every, lr_scale=args.lr_scale,
+                    reinit_opt=args.reinit_opt, reinit_at=args.reinit_at)
         if args.mesh_world or args.mesh_world_only:
             ck = args.checkpoint + "_mesh" if args.checkpoint else None
             config5_mesh(s, steps=args.steps, views=args.mesh_views,
