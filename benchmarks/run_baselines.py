@@ -196,7 +196,7 @@ def _maybe_resume(state, checkpoint, resume, tag):
 def config5(scale, steps=60, albedo_lr=0.03, views=4,
             same_key_targets=False, checkpoint=None, resume=False,
             ckpt_every=20, lr_scale=1.0, reinit_opt=False,
-            reinit_at=-1):
+            reinit_at=-1, loss_mode="l2"):
     """BASELINE configs[4] at its LITERAL spec: recover albedo + EMITTER
     radiance + per-view CAMERA pose by gradient descent on multi-view
     renders (M=4 views, 1920x1080 at scale 1), edge-aware silhouette
@@ -278,7 +278,7 @@ def config5(scale, steps=60, albedo_lr=0.03, views=4,
     init_state, step_fn, rebuild_scene, _ = make_multiview_train_step(
         wrong, start_cams, cfg_train, opt,
         trainable=("albedo", "emission"), train_camera="pose",
-        mesh=mesh, edge_aware=True)
+        mesh=mesh, edge_aware=True, loss=loss_mode)
     # The step key is FIXED across iterations: the detached-decision
     # estimator matches FD of the same fixed-key render, and re-sampling
     # per step turns the L2 of a noisy forward into a variance penalty
@@ -329,6 +329,7 @@ def config5(scale, steps=60, albedo_lr=0.03, views=4,
     print(json.dumps({
         "config": "5_inverse_multiview", "width": w, "height": h,
         "views": len(true_cams), "spp": cfg_train.spp,
+        "loss": loss_mode,
         "at_spec": _at_spec(w, h, len(true_cams)),
         "edge_aware": True, "steps": int(state.step),
         "resumed_from_step": start_step,
@@ -493,6 +494,10 @@ def main():
     ap.add_argument("--reinit-at", type=int, default=-1,
                     help="only re-init when resuming from EXACTLY this "
                          "step (so stall-restarts mid-stage keep moments)")
+    ap.add_argument("--loss", default="l2", choices=["l2", "dual"],
+                    help="config 5: fixed-key L2 or the dual-buffer "
+                         "debiased product loss (kills the noise-fit "
+                         "albedo floor; diff/inverse.dual_image_loss)")
     args = ap.parse_args()
     enable_compilation_cache()
     global ORACLE_FULL
@@ -505,7 +510,8 @@ def main():
                     same_key_targets=args.same_key_targets,
                     checkpoint=args.checkpoint, resume=args.resume,
                     ckpt_every=args.ckpt_every, lr_scale=args.lr_scale,
-                    reinit_opt=args.reinit_opt, reinit_at=args.reinit_at)
+                    reinit_opt=args.reinit_opt, reinit_at=args.reinit_at,
+                    loss_mode=args.loss)
         if args.mesh_world or args.mesh_world_only:
             ck = args.checkpoint + "_mesh" if args.checkpoint else None
             config5_mesh(s, steps=args.steps, views=args.mesh_views,

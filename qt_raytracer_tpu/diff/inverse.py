@@ -74,6 +74,30 @@ def image_loss(scene, camera, cfg: RenderConfig, key, target, mesh=None):
     return jnp.mean((img - target) ** 2)
 
 
+def dual_image_loss(scene, camera, cfg: RenderConfig, key, target,
+                    mesh=None):
+    """Dual-buffer DEBIASED image loss (the two-stream product form used
+    by differentiable renderers to de-bias stochastic L2; cf. the
+    sample-splitting estimator in the inverse-rendering literature).
+
+    Plain fixed-key L2 has a noise-fit floor: d||r - t||^2 = 2 (r - t)·dr
+    self-correlates the render's speckle with its own sensitivity, so the
+    optimizer compensates the FIXED residual speckle with parameter bias —
+    measured on config 5 at 1080p spp 2: albedo stalls at ~0.138 from
+    step ~100 while loss keeps descending (round-5 ledger; round 4's
+    'step-count-limited' attribution is REFUTED by the longer horizon).
+    Rendering TWO fixed half-spp streams A/B on disjoint fold_in branches
+    and minimizing mean((rA - t) * (rB - t)) keeps the same compute and
+    the same expectation, but the gradient (rA-t)·drB + (rB-t)·drA never
+    pairs a speckle with its own stream's sensitivity — the noise-fit
+    term vanishes identically instead of as 1/spp.
+    """
+    half = dataclasses.replace(cfg, spp=max(cfg.spp // 2, 1))
+    ra = mean_image(scene, camera, half, jax.random.fold_in(key, 101), mesh)
+    rb = mean_image(scene, camera, half, jax.random.fold_in(key, 202), mesh)
+    return jnp.mean((ra - target) * (rb - target))
+
+
 class TrainState(NamedTuple):
     params: Any            # dict of trainable scene fields (+ optional camera)
     opt_state: Any

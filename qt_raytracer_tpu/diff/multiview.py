@@ -40,8 +40,8 @@ import optax
 
 from ..core.config import RenderConfig
 from ..core.render import render_sample_batch
-from .inverse import (DEFAULT_TRAINABLE, TrainState, grad_capable_config,
-                      image_loss, split_scene)
+from .inverse import (DEFAULT_TRAINABLE, TrainState, dual_image_loss,
+                      grad_capable_config, image_loss, split_scene)
 
 
 def translate_camera(camera, t):
@@ -83,9 +83,14 @@ def make_multiview_train_step(
     train_camera: bool | str = "pose",
     mesh=None,
     edge_aware: bool = False,
+    loss: str = "l2",
 ):
     """Build (init_state, step_fn, rebuild_scene, rebuild_cameras) for joint
     multi-view recovery of scene fields + per-view camera poses.
+
+    loss: "l2" (fixed-key L2) or "dual" (dual-buffer debiased product loss,
+    diff/inverse.dual_image_loss — removes the fixed-key noise-fit floor
+    at equal compute; spp is split across the two streams).
 
     step_fn(state, targets [M,H,W,3], key) -> (state, loss): one step on the
     joint params {"scene": {...}, "camera": {"translate": [M,3]}}. Scene
@@ -121,11 +126,13 @@ def make_multiview_train_step(
     # backward recomputes one view's forward at a time.
     cams_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
 
+    loss_impl = image_loss if loss == "l2" else dual_image_loss
+
     @jax.checkpoint
     def view_loss(sc, cam_v, tgt_v, tr_v, v, key):
         cam = translate_camera(cam_v, tr_v)
-        return image_loss(sc, cam, cfg, jax.random.fold_in(key, v),
-                          tgt_v, mesh)
+        return loss_impl(sc, cam, cfg, jax.random.fold_in(key, v),
+                         tgt_v, mesh)
 
     def loss_fn(p, targets, key):
         sc = rebuild_scene(p["scene"])
@@ -172,6 +179,7 @@ def make_multiview_train_step_perview(
     train_camera: bool | str = "pose",
     mesh=None,
     edge_aware: bool = False,
+    loss: str = "l2",
 ):
     """Per-VIEW-device-call variant of make_multiview_train_step.
 
@@ -214,6 +222,8 @@ def make_multiview_train_step_perview(
 
     cams_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
 
+    loss_impl = image_loss if loss == "l2" else dual_image_loss
+
     @jax.jit
     def view_value_and_grad(p, cam_v, tgt_v, v, key):
         # v is a traced scalar: one compile covers every view.
@@ -223,8 +233,8 @@ def make_multiview_train_step_perview(
             tr_v = (cp["translate"][v] if cp is not None
                     else jnp.zeros(3, jnp.float32))
             cam = translate_camera(cam_v, tr_v)
-            return image_loss(sc, cam, cfg, jax.random.fold_in(key, v),
-                              tgt_v, mesh)
+            return loss_impl(sc, cam, cfg, jax.random.fold_in(key, v),
+                             tgt_v, mesh)
         return jax.value_and_grad(lf)(p)
 
     @jax.jit

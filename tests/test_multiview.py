@@ -229,3 +229,44 @@ def test_edge_aware_clamps_samples_per_batch():
     cfg = RenderConfig(width=32, height=24, spp=4, samples_per_batch=4,
                        edge_aware=True)
     assert cfg.samples_per_batch == 1
+
+
+@pytest.mark.slow
+def test_dual_buffer_loss_trains_against_independent_targets():
+    # The dual-buffer debiased loss (diff/inverse.dual_image_loss): two
+    # fixed half-spp streams, product loss. Against INDEPENDENT
+    # high-spp targets — the regime where fixed-key L2 develops a
+    # noise-fit parameter floor — the dual loss must still drive the
+    # trained errors down (the gradient never pairs a speckle with its
+    # own stream's sensitivity). Convergence-to-floor comparisons are the
+    # benchmark's job (run_baselines --loss dual); this pins the
+    # machinery: finite loss (it CAN go negative transiently), shrinking
+    # errors, and the loss plumbing through both step builders.
+    cfg = RenderConfig(width=48, height=32, spp=2, max_depth=3, rng="hash",
+                       nee=True, samples_per_batch=1)
+    scene = _lit_scene()
+    cams = orbit_cameras(_base_camera(cfg.aspect_ratio),
+                         [(0, 0, 0), (0.3, 0.0, 0.0)])
+    tcfg = dc.replace(cfg, spp=32)
+    targets = render_targets(scene, cams, tcfg, seed=3, spp_per_call=8)
+    wrong = dc.replace(
+        scene,
+        albedo=scene.albedo.at[1].set(jnp.array([0.2, 0.7, 0.7])),
+        emission=scene.emission.at[2].set(jnp.array([5.0, 5.0, 5.0])))
+    opt = optax.multi_transform(
+        {"scene": optax.adam(4e-2), "emission": optax.adam(0.3)},
+        {"scene": {"albedo": "scene", "emission": "emission"}})
+    init_state, step_fn, rebuild_scene, _ = make_multiview_train_step(
+        wrong, cams, cfg, opt, trainable=("albedo", "emission"),
+        train_camera=False, loss="dual")
+    state = init_state()
+    for _ in range(40):
+        state, loss = step_fn(state, targets, KEY)
+    assert np.isfinite(float(loss))
+    rec = rebuild_scene(state.params["scene"])
+    alb0 = float(jnp.abs(wrong.albedo[1] - scene.albedo[1]).max())
+    alb = float(jnp.abs(rec.albedo[1] - scene.albedo[1]).max())
+    emi0 = float(jnp.abs(wrong.emission[2] - scene.emission[2]).max())
+    emi = float(jnp.abs(rec.emission[2] - scene.emission[2]).max())
+    assert alb < 0.6 * alb0, (alb0, alb)
+    assert emi < 0.6 * emi0, (emi0, emi)
