@@ -344,7 +344,8 @@ def config5(scale, steps=60, albedo_lr=0.03, views=4,
 
 
 def config5_mesh(scale, steps=60, views=2, checkpoint=None, resume=False,
-                 ckpt_every=20):
+                 ckpt_every=20, lr_scale=1.0, reinit_opt=False,
+                 reinit_at=-1):
     """Config-5 mesh-world recovery line: camera-pose recovery in the TRUE
     Cornell box (triangle walls + boxes + emissive area quad, NEE+MIS)
     from multi-view 1920x1080-at-scale-1 renders, edge-aware silhouette
@@ -405,12 +406,25 @@ def config5_mesh(scale, steps=60, views=2, checkpoint=None, resume=False,
     mesh = None
     if len(jax.devices()) > 1:
         mesh = make_mesh(sp=1)
+    # lr_scale / reinit_opt: the COARSE-TO-FINE schedule's fine stage —
+    # the pose checkpoint is resolution-independent, so stage A converges
+    # at reduced scale (the validated 518x291 basin) and stage B resumes
+    # the same checkpoint at 1080p from inside the basin. At 1080p a
+    # 0.1-unit offset is ~50 px of image shift: starting THERE, the
+    # fixed-key L2 gradient is speckle-decorrelation noise and adam
+    # random-walks (measured: 2-view 1080p pose 0.1 -> 0.17 in 30 steps).
+    opt = optax.adam(2.5e-2 * lr_scale)
     init_state, step_fn, _, _ = make_multiview_train_step_perview(
-        world, start_cams, cfg_train, optax.adam(2.5e-2),
+        world, start_cams, cfg_train, opt,
         trainable=(), train_camera="pose", mesh=mesh, edge_aware=True)
     key = jax.random.PRNGKey(11)
     state, start_step = _maybe_resume(init_state(), checkpoint, resume,
                                       "config5_mesh")
+    if reinit_opt and start_step and (reinit_at < 0
+                                      or start_step == reinit_at):
+        state = state._replace(opt_state=opt.init(state.params))
+        print(f"# config5_mesh optimizer re-initialized (lr_scale="
+              f"{lr_scale})", file=sys.stderr, flush=True)
     loss, t0, timed0 = None, None, None
     t_c = time.perf_counter()
     while int(state.step) < steps:
@@ -443,6 +457,7 @@ def config5_mesh(scale, steps=60, views=2, checkpoint=None, resume=False,
         "at_spec": _at_spec(w, h, len(true_cams)),
         "edge_aware": True, "steps": int(state.step),
         "resumed_from_step": start_step, "per_view_calls": True,
+        "lr_scale": lr_scale,
         "step_s": round(dt, 4),
         "final_loss": round(float(loss), 6) if loss is not None else None,
         "pose_err_start": round(float(np.abs(np.asarray(pose_err)).max()), 4),
@@ -516,7 +531,10 @@ def main():
             ck = args.checkpoint + "_mesh" if args.checkpoint else None
             config5_mesh(s, steps=args.steps, views=args.mesh_views,
                          checkpoint=ck, resume=args.resume,
-                         ckpt_every=args.ckpt_every)
+                         ckpt_every=args.ckpt_every,
+                         lr_scale=args.lr_scale,
+                         reinit_opt=args.reinit_opt,
+                         reinit_at=args.reinit_at)
 
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: c5}
     for c in args.configs:
