@@ -221,7 +221,7 @@ def cmd_invert(args) -> int:
     init_state, step_fn, rebuild, rebuild_cam = make_train_step(
         wrong, start_cam, cfg, optimizer, trainable=("albedo",),
         train_camera="pose" if args.train_camera else False,
-        edge_aware=args.edge_aware)
+        edge_aware=args.edge_aware, loss=args.loss)
     state = init_state()
     if args.resume and args.checkpoint:
         state = load_train_state(args.checkpoint, state)
@@ -334,6 +334,10 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--resume", action="store_true",
                     help="restore optimizer state from --checkpoint")
     pi.add_argument("--checkpoint-every", type=int, default=10)
+    pi.add_argument("--loss", default="l2", choices=["l2", "dual"],
+                    help="image loss: fixed-key L2 or the dual-buffer "
+                         "debiased product loss (kills the fixed-key "
+                         "noise-fit floor at equal cost)")
     pi.set_defaults(fn=cmd_invert)
     return p
 

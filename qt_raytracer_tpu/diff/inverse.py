@@ -139,8 +139,12 @@ def make_train_step(
     train_camera: bool = False,
     mesh=None,
     edge_aware: bool = False,
+    loss: str = "l2",
 ):
     """Build (init_state, step_fn) for inverse rendering.
+
+    loss: "l2" (default) or "dual" (dual-buffer debiased product loss —
+    see dual_image_loss; removes the fixed-key noise-fit floor).
 
     step_fn(state, target, key) -> (state, loss): one SGD step on the
     trainable scene fields (and optionally every camera field). With a mesh,
@@ -178,10 +182,12 @@ def make_train_step(
                 lower_left_corner=camera.lower_left_corner + t)
         return cp
 
+    loss_impl = image_loss if loss == "l2" else dual_image_loss
+
     def loss_fn(p, target, key):
         sc = rebuild_scene(p["scene"])
         cam = rebuild_camera(p)
-        return image_loss(sc, cam, cfg, key, target, mesh)
+        return loss_impl(sc, cam, cfg, key, target, mesh)
 
     def init_state():
         return TrainState(params=params, opt_state=optimizer.init(params),
