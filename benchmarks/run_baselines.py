@@ -345,7 +345,7 @@ def config5(scale, steps=60, albedo_lr=0.03, views=4,
 
 def config5_mesh(scale, steps=60, views=2, checkpoint=None, resume=False,
                  ckpt_every=20, lr_scale=1.0, reinit_opt=False,
-                 reinit_at=-1):
+                 reinit_at=-1, loss_mode="l2"):
     """Config-5 mesh-world recovery line: camera-pose recovery in the TRUE
     Cornell box (triangle walls + boxes + emissive area quad, NEE+MIS)
     from multi-view 1920x1080-at-scale-1 renders, edge-aware silhouette
@@ -393,9 +393,19 @@ def config5_mesh(scale, steps=60, views=2, checkpoint=None, resume=False,
     from qt_raytracer_tpu.diff.inverse import mean_image, save_train_state
     key = jax.random.PRNGKey(11)
     t_targets = time.perf_counter()
-    targets = jnp.stack([
-        mean_image(world, c, cfg_target, jax.random.fold_in(key, v))
-        for v, c in enumerate(true_cams)])
+    if loss_mode == "dual":
+        # Dual-buffer loss wants independent "capture" targets (the
+        # same-key construction is an L2-specific control); rendered
+        # progressively so each 1080p mesh call stays under the axon
+        # limit. spp 8 keeps target noise below the pose signal.
+        from qt_raytracer_tpu.diff.multiview import render_targets
+        tcfg = dc.replace(cfg_target, spp=8)
+        targets = render_targets(world, true_cams, tcfg, seed=23,
+                                 spp_per_call=2)
+    else:
+        targets = jnp.stack([
+            mean_image(world, c, cfg_target, jax.random.fold_in(key, v))
+            for v, c in enumerate(true_cams)])
     jax.block_until_ready(targets)
     print(f"# config5_mesh targets rendered: "
           f"{time.perf_counter() - t_targets:.0f}s",
@@ -416,7 +426,8 @@ def config5_mesh(scale, steps=60, views=2, checkpoint=None, resume=False,
     opt = optax.adam(2.5e-2 * lr_scale)
     init_state, step_fn, _, _ = make_multiview_train_step_perview(
         world, start_cams, cfg_train, opt,
-        trainable=(), train_camera="pose", mesh=mesh, edge_aware=True)
+        trainable=(), train_camera="pose", mesh=mesh, edge_aware=True,
+        loss=loss_mode)
     key = jax.random.PRNGKey(11)
     state, start_step = _maybe_resume(init_state(), checkpoint, resume,
                                       "config5_mesh")
@@ -455,6 +466,7 @@ def config5_mesh(scale, steps=60, views=2, checkpoint=None, resume=False,
         "config": "5_inverse_mesh_world", "width": w, "height": h,
         "views": len(true_cams), "spp": cfg_train.spp, "nee": True,
         "at_spec": _at_spec(w, h, len(true_cams)),
+        "loss": loss_mode,
         "edge_aware": True, "steps": int(state.step),
         "resumed_from_step": start_step, "per_view_calls": True,
         "lr_scale": lr_scale,
@@ -534,7 +546,7 @@ def main():
                          ckpt_every=args.ckpt_every,
                          lr_scale=args.lr_scale,
                          reinit_opt=args.reinit_opt,
-                         reinit_at=args.reinit_at)
+                         reinit_at=args.reinit_at, loss_mode=args.loss)
 
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: c5}
     for c in args.configs:
