@@ -115,7 +115,15 @@ def main() -> None:
                             interp, mesh_kernel="clustered", depth_idx=1)
         return jnp.sum(jnp.where(h["t"] < BIG, h["t"], 0.0))
 
-    kernel_ms, alive_frac = [], []
+    @jax.jit
+    def sort_by_alive(ox, oy, oz, dx, dy, dz, alive):
+        # Stable partition: alive lanes to the front (the compaction a
+        # sorted carry would give the kernel — contiguous dead ray-tiles).
+        perm = jnp.argsort(~alive, stable=True)
+        return tuple(a[perm] for a in (ox, oy, oz, dx, dy, dz)) + (
+            alive[perm],)
+
+    kernel_ms, kernel_sorted_ms, alive_frac = [], [], []
     for w in waves:
         float(kern(*w))            # compile + warm
         ts = []
@@ -125,6 +133,14 @@ def main() -> None:
             ts.append(time.time() - t0)
         kernel_ms.append(min(ts) * 1e3)
         alive_frac.append(float(jnp.mean(w[6])))
+        ws = jax.block_until_ready(sort_by_alive(*w))
+        float(kern(*ws))
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.time()
+            float(kern(*ws))
+            ts.append(time.time() - t0)
+        kernel_sorted_ms.append(min(ts) * 1e3)
 
     # --- 3. per-bounce TOTAL from the depth profile ----------------------
     @functools.partial(jax.jit, static_argnames=("depth",))
@@ -147,12 +163,14 @@ def main() -> None:
 
     print(f"# chunk={args.chunk} n={n} depth={args.depth} "
           f"(bounce totals from depth-profile differences)")
-    print("bounce  alive%   kernel_ms  bounce_total_ms  glue_ms  glue%")
+    print("bounce  alive%   kernel_ms  kernel_sorted_ms  bounce_total_ms"
+          "  glue_ms  glue%")
     for b in range(args.depth):
         tot = totals[b]
         kms = kernel_ms[b]
         glue = tot - kms
         print(f"{b:>6}  {alive_frac[b]*100:>5.1f}  {kms:>9.1f}  "
+              f"{kernel_sorted_ms[b]:>16.1f}  "
               f"{tot:>14.1f}  {glue:>7.1f}  {max(glue,0)/max(tot,1e-9):>5.1%}",
               flush=True)
 

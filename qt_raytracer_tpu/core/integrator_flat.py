@@ -496,8 +496,17 @@ def trace_flat_world(
     nee: bool = False,
     rr_start: int = 0,
     interpret: bool = False,
+    compact: bool | None = None,
 ) -> jnp.ndarray:
     """Flat-SoA fast forward path for MESH WORLDS (spheres + triangles).
+
+    compact: per-bounce alive-compaction sort of the carries (same bitwise
+    contract as trace_flat's compact mode). None = read QTRT_MESH_COMPACT
+    at trace time. Motivation (round-5 glue split): the clustered kernel's
+    cost is occupancy-INSENSITIVE under scattered dead lanes (132 ms at
+    6.4%% alive vs 137 at 100%% — dead lanes are spread across every
+    (8,128) row so no row goes dead), while a sorted carry turns dead rows
+    into contiguous skippable tiles.
 
     Same estimator/uniform slots as integrator.trace on a World — the f64
     oracle applies — with flat [N] carries and both Pallas kernels fed
@@ -505,27 +514,34 @@ def trace_flat_world(
     the relayout tax the flat integrator exists to kill, roadmap 7).
     Forward-only: differentiating raises (mesh gradient renders use the
     [N,3] path with XLA re-derives)."""
+    if compact is None:
+        import os as _os
+        compact = _os.environ.get("QTRT_MESH_COMPACT", "0") == "1"
     return _trace_flat_world_guarded(world, origins, directions, sample_keys,
                                      max_depth, float(t_min), bool(nee),
-                                     int(rr_start), bool(interpret))
+                                     int(rr_start), bool(interpret),
+                                     bool(compact))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _trace_flat_world_guarded(world, origins, directions, sample_keys,
-                              max_depth, t_min, nee, rr_start, interpret):
+                              max_depth, t_min, nee, rr_start, interpret,
+                              compact=False):
     return _trace_flat_world_impl(world, origins, directions, sample_keys,
-                                  max_depth, t_min, nee, rr_start, interpret)
+                                  max_depth, t_min, nee, rr_start, interpret,
+                                  compact)
 
 
 def _trace_flat_world_fwd(world, origins, directions, sample_keys,
-                          max_depth, t_min, nee, rr_start, interpret):
+                          max_depth, t_min, nee, rr_start, interpret,
+                          compact=False):
     return _trace_flat_world_impl(world, origins, directions, sample_keys,
                                   max_depth, t_min, nee, rr_start,
-                                  interpret), None
+                                  interpret, compact), None
 
 
 def _trace_flat_world_bwd(max_depth, t_min, nee, rr_start, interpret,
-                          res, g):
+                          compact, res, g):
     raise ValueError(
         "trace_flat_world is forward-only (both kernels detach every hit "
         "quantity). Use intersector='pallas' or 'xla' for gradient renders "
@@ -538,7 +554,8 @@ _trace_flat_world_guarded.defvjp(_trace_flat_world_fwd,
 
 
 def _trace_flat_world_impl(world, origins, directions, sample_keys,
-                           max_depth, t_min, nee, rr_start, interpret):
+                           max_depth, t_min, nee, rr_start, interpret,
+                           compact=False):
     import os
 
     from .world import world_lights
@@ -574,12 +591,34 @@ def _trace_flat_world_impl(world, origins, directions, sample_keys,
     zero = ox * 0.0
     one = zero + 1.0
     alive0 = padf(origins[:, 0] * 0.0 + 1.0) > 0.5
+    # Original lane id (input-derived; f32 iota exact to 2^24 lanes):
+    # restores pixel order after the compact mode's per-bounce sorts.
+    pid = (zero + jnp.arange(ox.shape[0], dtype=jnp.float32)).astype(
+        jnp.int32)
     state = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
-             alive0, zero - 1.0, keys)
+             alive0, zero - 1.0, keys, pid)
 
     def bounce(state, depth_idx):
         (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
-         alive, prev_pdf, keys) = state
+         alive, prev_pdf, keys, pid) = state
+        if compact:
+            # Alive-compaction sort (same bitwise contract as the sphere
+            # path's compact mode): live rays packed into a dense prefix
+            # so whole kernel ray-rows go dead and the clustered sweep
+            # skips them. Every per-ray quantity rides the permutation
+            # (keys drive the RNG, pid restores order), so the image is
+            # BITWISE unchanged. The sphere-path refutation (relayout tax
+            # ~116 ms/bounce vs a cheap kernel) does NOT transfer: the
+            # mesh bounce kernel is 130-170 ms and occupancy-insensitive
+            # under scattered dead lanes (round-5 glue split).
+            order = jnp.argsort(jnp.where(alive, 0, 1).astype(jnp.int32),
+                                stable=True)
+            g = lambda x: x[order]
+            (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, prev_pdf,
+             pid) = map(g, (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry,
+                            rz, prev_pdf, pid))
+            alive = g(alive)
+            keys = g(keys)
         h = _world_hit_flat(world, ox, oy, oz, dx, dy, dz, alive, t_min,
                             interpret, mesh_kernel=mesh_kernel,
                             depth_idx=depth_idx)
@@ -646,11 +685,15 @@ def _trace_flat_world_impl(world, origins, directions, sample_keys,
                                  jnp.maximum(cos_next, 0.0) * INV_PI, -1.0)
             prev_pdf = jnp.where(continues, pdf_next, prev_pdf)
         return (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
-                continues, prev_pdf, keys), None
+                continues, prev_pdf, keys, pid), None
 
     state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth), unroll=1)
-    rx, ry, rz = state[9], state[10], state[11]
-    return jnp.stack([rx, ry, rz], axis=-1)[:n]
+    rx, ry, rz, pid = state[9], state[10], state[11], state[15]
+    rad = jnp.stack([rx, ry, rz], axis=-1)
+    if compact:
+        rad = jnp.zeros_like(rad).at[pid].set(rad, unique_indices=True,
+                                              mode="drop")
+    return rad[:n]
 
 
 def _rederive_hits_flat(scene, ox, oy, oz, dx, dy, dz, t_sel, idx, t_min):

@@ -340,3 +340,38 @@ def test_compact_mode_is_bitwise_and_grad_identical():
     g0 = np.asarray(jax.grad(lambda x: loss(x, False))(scene.albedo))
     g1 = np.asarray(jax.grad(lambda x: loss(x, True))(scene.albedo))
     np.testing.assert_array_equal(g0, g1)
+
+
+@pytest.mark.slow
+def test_mesh_compact_mode_is_bitwise_identical():
+    # Round-5 mesh compact mode (QTRT_MESH_COMPACT / compact=True on
+    # trace_flat_world): per-bounce alive-compaction sort of the carries —
+    # same bitwise contract as the sphere path's compact mode (keys ride
+    # the permutation so per-ray RNG is unchanged; pid restores order).
+    import dataclasses as dc
+
+    from qt_raytracer_tpu.core import sampling
+    from qt_raytracer_tpu.core.integrator_flat import trace_flat_world
+    scene, cam = scenes.get_scene("icosphere", 16 / 9)
+    key = jax.random.PRNGKey(3)
+    n = 2048
+    o = jax.random.uniform(key, (n, 3), minval=-2.0, maxval=2.0)
+    d = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    keys = sampling.pixel_states(key, jnp.arange(n, dtype=jnp.uint32),
+                                 "hash")
+    skeys = sampling.sample_keys(keys, 0)
+    ref = np.asarray(trace_flat_world(scene, o, d, skeys, 4,
+                                      interpret=True, compact=False))
+    img = np.asarray(trace_flat_world(scene, o, d, skeys, 4,
+                                      interpret=True, compact=True))
+    np.testing.assert_array_equal(ref, img)
+    # and through the NEE path (cornell world has an emissive quad)
+    world, _ = scenes.get_scene("cornell_mesh", 1.0)
+    ref = np.asarray(trace_flat_world(world, o * 0.2, d, skeys, 3,
+                                      nee=True, interpret=True,
+                                      compact=False))
+    img = np.asarray(trace_flat_world(world, o * 0.2, d, skeys, 3,
+                                      nee=True, interpret=True,
+                                      compact=True))
+    np.testing.assert_array_equal(ref, img)
