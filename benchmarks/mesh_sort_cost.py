@@ -98,11 +98,11 @@ def main() -> None:
     lo = jnp.min(world.mesh.v0, axis=0)
     hi = jnp.max(world.mesh.v0, axis=0)
 
-    @functools.partial(jax.jit, static_argnames=("sort",))
-    def search(ox, oy, oz, dx, dy, dz, alive, sort):
+    @functools.partial(jax.jit, static_argnames=("sort", "pipe"))
+    def search(ox, oy, oz, dx, dy, dz, alive, sort, pipe="gather"):
         t, idx = mesh_search_pallas(world.mesh, (ox, oy, oz), (dx, dy, dz),
                                     float(cfg.t_min), interpret=interp,
-                                    alive=alive, sort=sort)
+                                    alive=alive, sort=sort, pipe=pipe)
         live = alive & (t < BIG)
         return (jnp.sum(jnp.where(live, t, 0.0))
                 + jnp.sum(jnp.where(live, idx, 0)))
@@ -124,16 +124,17 @@ def main() -> None:
         return min(ts) * 1e3
 
     print(f"# chunk={args.chunk} n={n} (mesh_search_pallas only; "
-          f"a=sort-on b=sort-off c=presorted+sort-off)")
-    print("bounce  alive%    a_ms    b_ms    c_ms")
+          f"a=sort-on b=sort-off c=presorted+sort-off f=sort-on-fused-pipe)")
+    print("bounce  alive%    a_ms    b_ms    c_ms    f_ms")
     for b, w in enumerate(waves):
         af = float(jnp.mean(w[6])) * 100
         a_ms = timed(lambda *x: search(*x, sort=True), *w)
         b_ms = timed(lambda *x: search(*x, sort=False), *w)
         ws = jax.block_until_ready(presort(*w))
         c_ms = timed(lambda *x: search(*x, sort=False), *ws)
+        f_ms = timed(lambda *x: search(*x, sort=True, pipe="fused"), *w)
         print(f"{b:>6}  {af:>5.1f}  {a_ms:>6.1f}  {b_ms:>6.1f}  "
-              f"{c_ms:>6.1f}", flush=True)
+              f"{c_ms:>6.1f}  {f_ms:>6.1f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,7 @@ sync (and the oracle, testing/oracle.py) when changing either.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -237,20 +238,32 @@ def _world_hit_flat(world, ox, oy, oz, dx, dy, dz, alive, t_min, interpret,
     h = fused_hit_pallas(spheres, ox, oy, oz, dx, dy, dz, alive,
                          float(t_min), interpret=interpret)
 
-    def _clustered():
+    def _clustered(sort=True):
         return mesh_search_pallas(
             world.mesh, (ox, oy, oz), (dx, dy, dz), float(t_min),
-            interpret=interpret, alive=alive, t_cap=h["t"])
+            interpret=interpret, alive=alive, t_cap=h["t"], sort=sort)
 
     def _pairs():
         return mesh_search_pairs(
             world.mesh, (ox, oy, oz), (dx, dy, dz), float(t_min),
             interpret=interpret, alive=alive, t_cap=h["t"])
 
+    # Primary-bounce sort skip: bounce-0 rays arrive in pixel scan order —
+    # already coherent — so the crossing-sort pipeline (gate pass + argsort
+    # + gathers + scatters) is pure overhead there. Measured (v5e, terrain
+    # 1080p chunk, mesh_sort_cost.py): 168 ms sorted vs 100 ms unsorted at
+    # bounce 0, while scattered bounce wavefronts NEED the sort (300 vs
+    # 168 ms). Live-lane results are bitwise-identical either way (kernel
+    # docstring), so the lax.cond on the traced depth is semantics-free.
+    sort0 = os.environ.get("QTRT_MESH_SORT0", "1") != "0"
     if mesh_kernel == "pairs":
         t_m, idx_m = _pairs()
     elif mesh_kernel == "hybrid" and depth_idx is not None:
         t_m, idx_m = jax.lax.cond(depth_idx == 0, _clustered, _pairs)
+    elif not sort0 and depth_idx is not None:
+        t_m, idx_m = jax.lax.cond(depth_idx == 0,
+                                  lambda: _clustered(sort=False),
+                                  lambda: _clustered(sort=True))
     else:
         t_m, idx_m = _clustered()
     mesh_hit = t_m < BIG

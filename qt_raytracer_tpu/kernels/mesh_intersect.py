@@ -75,6 +75,17 @@ MT_MODE = os.environ.get("QTRT_MESH_MT", "vpu")
 # or "crossing2" (first TWO gated cluster ids — finer grouping, one extra
 # gate pass). Overridable per-call via mesh_search_pallas(sort_mode=...).
 SORT_MODE = os.environ.get("QTRT_MESH_SORT", "crossing")
+# Sort-pipeline mechanics: "fused" (default — ONE stable variadic lax.sort
+# carrying every ray operand with the key, inverse by a second sort on the
+# carried iota) or "gather" (argsort + per-operand random gathers + result
+# scatters). Same stable permutation either way -> bitwise-identical
+# outputs; only the data-movement primitive changes. Random gathers cost
+# ~2-3.5 ms per 256Ki rows EACH while lax.sort streams all payloads through
+# one sort network; MEASURED (v5e, terrain 414Ki-ray bounces,
+# mesh_sort_cost.py round 5): 147-167 ms -> 87-128 ms per search, terrain
+# 1080p frame 2.98 s -> 1.68 s (0.70 -> 1.24 Msamples/s). Import-time
+# default; per-call override via mesh_search_pallas(pipe=...).
+SORT_PIPE = os.environ.get("QTRT_MESH_SORT_PIPE", "fused")
 
 
 def num_clusters(num_tris: int) -> int:
@@ -762,12 +773,12 @@ def _scratch_shapes(k_pad):
 
 @functools.partial(jax.jit,
                    static_argnames=("t_min", "interpret", "sort", "mt",
-                                    "sort_mode", "visit"))
+                                    "sort_mode", "visit", "pipe"))
 def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
                        t_min: float, interpret: bool = False, alive=None,
                        sort: bool = True, mt: str = MT_MODE, t_cap=None,
                        sort_mode: str = SORT_MODE, visit: str = VISIT_MODE,
-                       exclude=None):
+                       exclude=None, pipe: str | None = None):
     """Closest-hit over the mesh: (t [N] f32 BIG=miss, tri_idx [N] i32),
     detached. tri_idx refers to the BVH-reordered triangle arrays.
 
@@ -775,6 +786,10 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
     masked out of every visit's accept test — the edge-aware background
     re-trace for mesh worlds (diff/edge.py). One extra ray operand,
     compiled in only when present.
+
+    pipe: sort-pipeline mechanics, "gather"/"fused" (None -> SORT_PIPE env
+    default) — same permutation, different data-movement primitive; see
+    the SORT_PIPE comment.
 
     sort=True reorders the wavefront by sort_keys before the kernel and
     scatters results back — per-ray outputs are BITWISE identical for LIVE
@@ -851,15 +866,44 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
             if alive is not None:
                 key = jnp.where(jax.lax.stop_gradient(alive), key,
                                 jnp.int32(2**31 - 1))
-        perm = jnp.argsort(key)
-        oc = tuple(c[perm] for c in oc)
-        dc = tuple(c[perm] for c in dc)
-        if alive is not None:
-            alive = jax.lax.stop_gradient(alive)[perm]
-        if t_cap is not None:
-            t_cap = jax.lax.stop_gradient(t_cap)[perm]
-        if exclude is not None:
-            exclude = jax.lax.stop_gradient(exclude)[perm]
+        if pipe is None:
+            pipe = SORT_PIPE
+        if pipe == "fused":
+            # One stable variadic sort moves key + iota + every ray operand
+            # together: O(#operands) random gathers become one streamed
+            # sort network. Stable + iota tiebreak == jnp.argsort's exact
+            # permutation, so outputs are bitwise-identical to the gather
+            # pipe (tested: tests/test_mesh_kernel.py).
+            ops = [key, jax.lax.iota(jnp.int32, n), *oc, *dc]
+            if alive is not None:
+                ops.append(jax.lax.stop_gradient(alive))
+            if t_cap is not None:
+                ops.append(jax.lax.stop_gradient(t_cap))
+            if exclude is not None:
+                ops.append(jax.lax.stop_gradient(exclude))
+            s = list(jax.lax.sort(tuple(ops), dimension=0, num_keys=1,
+                                  is_stable=True))
+            perm = s[1]
+            oc, dc = tuple(s[2:5]), tuple(s[5:8])
+            pos = 8
+            if alive is not None:
+                alive = s[pos]
+                pos += 1
+            if t_cap is not None:
+                t_cap = s[pos]
+                pos += 1
+            if exclude is not None:
+                exclude = s[pos]
+        else:
+            perm = jnp.argsort(key)
+            oc = tuple(c[perm] for c in oc)
+            dc = tuple(c[perm] for c in dc)
+            if alive is not None:
+                alive = jax.lax.stop_gradient(alive)[perm]
+            if t_cap is not None:
+                t_cap = jax.lax.stop_gradient(t_cap)[perm]
+            if exclude is not None:
+                exclude = jax.lax.stop_gradient(exclude)[perm]
 
     tile = GROUPS * LANE
     n_pad = max(-(-n // tile) * tile, tile)
@@ -959,8 +1003,15 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
     idx = jax.lax.stop_gradient(idx.reshape(-1)[:n])
     if perm is not None:
         # Un-permute: sorted slot i holds ray perm[i]'s result.
-        t = jnp.zeros_like(t).at[perm].set(t, unique_indices=True,
-                                           mode="drop")
-        idx = jnp.zeros_like(idx).at[perm].set(idx, unique_indices=True,
+        if pipe == "fused":
+            # perm is a permutation of iota (all keys distinct), so sorting
+            # by it is the exact inverse — one 2-payload sort instead of
+            # two random scatters.
+            _, t, idx = jax.lax.sort((perm, t, idx), dimension=0,
+                                     num_keys=1, is_stable=False)
+        else:
+            t = jnp.zeros_like(t).at[perm].set(t, unique_indices=True,
                                                mode="drop")
+            idx = jnp.zeros_like(idx).at[perm].set(idx, unique_indices=True,
+                                                   mode="drop")
     return t, idx

@@ -62,6 +62,24 @@ def test_sort_bitwise_on_live_lanes(setup, mt, mode):
     np.testing.assert_array_equal(i0[alive], i1[alive])
 
 
+def test_fused_sort_pipe_bitwise_all_lanes(setup):
+    # The fused variadic-sort pipeline is the SAME stable permutation as
+    # argsort+gathers (stable lax.sort with iota tiebreak IS jnp.argsort),
+    # so outputs must match bitwise on every lane, dead ones included —
+    # with and without t_cap (extra sorted operand).
+    mesh, o, d, _ = setup
+    alive = jnp.asarray(jax.random.bernoulli(jax.random.PRNGKey(7), 0.6,
+                                             (o.shape[0],)))
+    t_cap = jnp.full((o.shape[0],), 7.5)
+    for cap in (None, t_cap):
+        t0, i0 = mesh_search_pallas(mesh, o, d, 1e-3, interpret=True,
+                                    alive=alive, t_cap=cap, pipe="gather")
+        t1, i1 = mesh_search_pallas(mesh, o, d, 1e-3, interpret=True,
+                                    alive=alive, t_cap=cap, pipe="fused")
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("variant", ["subtile", "sliced", "rowgate"])
 def test_visit_variants_bitwise_equal_full(setup, variant):
