@@ -95,11 +95,28 @@ def num_clusters(num_tris: int) -> int:
     return max(-(-num_tris // (CLUSTER_ROWS * LANE)), 1)
 
 
+def cluster_rows_for(num_tris: int) -> int:
+    """Static Möller-Trumbore rows per cluster — THE companion packing
+    formula (prep_mesh_clusters, both visit kernels, mesh_pairs). Full
+    CLUSTER_ROWS for multi-cluster meshes; SINGLE-cluster meshes shrink to
+    ceil(p/128) so a small mesh doesn't sweep rows of degenerate padding
+    triangles: the 36-tri true Cornell packs into ONE row, and sweeping 4
+    was 4x the MT work for identical results (padding tris have zero edges
+    -> det 0 -> miss; tri ids stay the linear BVH-order index either way).
+    Measured on v5e in docs/PERFORMANCE.md round 5 (QTRT_SMALL_MESH_ROWS=0
+    opts out, for A/B only)."""
+    if num_tris > CLUSTER_ROWS * LANE:
+        return CLUSTER_ROWS
+    if os.environ.get("QTRT_SMALL_MESH_ROWS", "1") == "0":
+        return CLUSTER_ROWS
+    return max(-(-num_tris // LANE), 1)
+
+
 def prep_mesh_clusters(mesh: TriangleMesh):
     """Lane-dense packing. Returns (tri_planes [9 x (PR,128)],
     box_planes [6 x (KR,128)], centers [k,3], radii [k], k, k_pad)."""
     p = mesh.v0.shape[0]
-    g = CLUSTER_ROWS * LANE
+    g = cluster_rows_for(p) * LANE
     k = num_clusters(p)
     p_pad = k * g
     k_pad = max(-(-k // LANE) * LANE, LANE)
@@ -221,7 +238,8 @@ def _mesh_kernel_rowgate(rlx, rly, rlz, rhx, rhy, rhz, *args, **kw):
 def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                  t_min: float, num_clusters: int, num_tris: int,
                  k_rows: int, mt_mode: str, visit_mode: str = VISIT_MODE,
-                 row_boxes=None, has_excl: bool = False):
+                 row_boxes=None, has_excl: bool = False,
+                 cluster_rows: int = CLUSTER_ROWS):
     # Optional per-lane excluded-triangle id (-1 = none): one extra ray
     # operand, compiled in only when present (the edge-aware background
     # re-trace for mesh worlds, diff/edge.py).
@@ -304,11 +322,11 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                         preferred_element_type=jnp.float32)
 
             def visit_mxu(c):
-                """MXU Möller-Trumbore over cluster c's CLUSTER_ROWS rows."""
-                row_base = c * CLUSTER_ROWS
+                """MXU Möller-Trumbore over cluster c's cluster_rows rows."""
+                row_base = c * cluster_rows
                 t_best = tb_ref[...]                    # (128, 1)
                 idx_best = ib_ref[...]
-                for sub in range(CLUSTER_ROWS):
+                for sub in range(cluster_rows):
                     row = row_base + sub
                     det = mm(r3, fdet[pl.ds(row * 3, 3), :])   # (128, 128)
                     uu = mm(r6, f_u[pl.ds(row * 6, 6), :])
@@ -340,11 +358,11 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                 ib_ref[...] = idx_best
 
             def visit_vpu(c):
-                """Möller-Trumbore over cluster c's CLUSTER_ROWS tri rows."""
-                row_base = c * CLUSTER_ROWS
+                """Möller-Trumbore over cluster c's cluster_rows tri rows."""
+                row_base = c * cluster_rows
                 t_best = tb_ref[...]                    # (128, 1)
                 idx_best = ib_ref[...]
-                for sub in range(CLUSTER_ROWS):
+                for sub in range(cluster_rows):
                     row = row_base + sub
                     v0 = (v0x[pl.ds(row, 1), :], v0y[pl.ds(row, 1), :],
                           v0z[pl.ds(row, 1), :])        # (1, 128) tris
@@ -402,7 +420,7 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                 conservative cap as the cluster gate, so skipped slices
                 cannot contain a winner — outputs stay bitwise identical.
                 """
-                row_base = c * CLUSTER_ROWS
+                row_base = c * cluster_rows
                 for s in range(128 // SUBTILE_ROWS):
                     @pl.when(counts_sl_ref[c, s] > 0)
                     def _(s=s):
@@ -410,7 +428,7 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                         hi_s = lo_s + SUBTILE_ROWS
                         _mt_slice(row_base, lo_s, hi_s)
 
-            def _mt_slice(row_base, lo_s, hi_s, rows=CLUSTER_ROWS):
+            def _mt_slice(row_base, lo_s, hi_s, rows=cluster_rows):
                 o_s = tuple(v[lo_s:hi_s, :] for v in o)         # (R,1)
                 d_s = tuple(v[lo_s:hi_s, :] for v in d)
                 t_best = tb_ref[lo_s:hi_s, :]                   # (R,1)
@@ -473,7 +491,7 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                 spilling to VMEM every visit) and the ray-side operand
                 broadcast is a single-op (8,1) lane broadcast.
                 """
-                row_base = c * CLUSTER_ROWS
+                row_base = c * cluster_rows
                 for s in range(128 // SUBTILE_ROWS):
                     lo_s = s * SUBTILE_ROWS
                     _mt_slice(row_base, lo_s, lo_s + SUBTILE_ROWS)
@@ -491,8 +509,8 @@ def _mesh_kernel(ox, oy, oz, dx, dy, dz, alive, tcap, *rest,
                 stay bitwise identical to the plain sweep (tested).
                 """
                 rlx, rly, rlz, rhx, rhy, rhz = row_boxes
-                row_base = c * CLUSTER_ROWS
-                for sub in range(CLUSTER_ROWS):
+                row_base = c * cluster_rows
+                for sub in range(cluster_rows):
                     row = row_base + sub
                     enter = jnp.full((128, 1), t_min, jnp.float32)
                     exit_ = jnp.full((128, 1), BIG, jnp.float32)
@@ -937,9 +955,10 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
         prep_mesh_clusters(mesh)
     pr = tri_planes[0].shape[0]
     kr = box_planes[0].shape[0]
+    c_rows = cluster_rows_for(mesh.v0.shape[0])
 
     if mt == "mxu":
-        feats = build_mt_features(mesh, k * CLUSTER_ROWS * LANE)
+        feats = build_mt_features(mesh, k * c_rows * LANE)
         tri_args = list(feats)
         tri_specs = [
             pl.BlockSpec((f.shape[0], LANE), lambda i, *_: (0, 0),
@@ -957,12 +976,12 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
     if visit == "rowgate":
         # Row boxes ride scalar prefetch (SMEM): dynamically indexable by
         # the in-visit row id, which VMEM lane-dense layouts cannot be.
-        row_box_args = prep_row_boxes(mesh, k * CLUSTER_ROWS * LANE)
+        row_box_args = prep_row_boxes(mesh, k * c_rows * LANE)
         kern = functools.partial(_mesh_kernel_rowgate, t_min=t_min,
                                  num_clusters=k,
                                  num_tris=mesh.num_triangles, k_rows=kr,
                                  mt_mode=mt, visit_mode=visit,
-                                 has_excl=has_excl)
+                                 has_excl=has_excl, cluster_rows=c_rows)
         grid_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             grid=(nb,),
@@ -975,7 +994,7 @@ def mesh_search_pallas(mesh: TriangleMesh, origins, directions,
         kern = functools.partial(_mesh_kernel, t_min=t_min, num_clusters=k,
                                  num_tris=mesh.num_triangles, k_rows=kr,
                                  mt_mode=mt, visit_mode=visit,
-                                 has_excl=has_excl)
+                                 has_excl=has_excl, cluster_rows=c_rows)
         grid_kw = dict(
             grid=(nb,),
             in_specs=[ray_spec] * len(rays) + tri_specs + [box_spec] * 6,

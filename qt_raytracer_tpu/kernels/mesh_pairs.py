@@ -51,13 +51,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.mesh import TriangleMesh
 from .mesh_intersect import (BIG, CLUSTER_ROWS, GROUPS, LANE,
-                             mesh_search_pallas, num_clusters,
-                             prep_mesh_clusters)
+                             cluster_rows_for, mesh_search_pallas,
+                             num_clusters, prep_mesh_clusters)
 
 
 def _pairs_kernel(gmap, ox, oy, oz, dx, dy, dz, tcap, valid,
                   v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
-                  t_out, idx_out, *, t_min: float, num_tris: int):
+                  t_out, idx_out, *, t_min: float, num_tris: int,
+                  cluster_rows: int = CLUSTER_ROWS):
     """One grid step = GROUPS 128-pair tiles; tile g's cluster id comes
     from the prefetched gmap. Möller-Trumbore math is copied verbatim from
     mesh_intersect.visit_vpu so per-(ray, tri) f32 results match bitwise."""
@@ -77,8 +78,8 @@ def _pairs_kernel(gmap, ox, oy, oz, dx, dy, dz, tcap, valid,
 
             t_best = cap_col                              # (128, 1)
             idx_best = jnp.zeros((128, 1), jnp.int32)
-            row_base = c * CLUSTER_ROWS
-            for sub in range(CLUSTER_ROWS):
+            row_base = c * cluster_rows
+            for sub in range(cluster_rows):
                 row = row_base + sub
                 v0 = (v0x[pl.ds(row, 1), :], v0y[pl.ds(row, 1), :],
                       v0z[pl.ds(row, 1), :])              # (1, 128) tris
@@ -251,7 +252,7 @@ def cluster_bounds(mesh: TriangleMesh):
     prep_mesh_clusters packs lane-dense (kept in one place so the emission
     gate and the clustered kernel's phase-1 gate test identical geometry)."""
     p = mesh.v0.shape[0]
-    g = CLUSTER_ROWS * LANE
+    g = cluster_rows_for(p) * LANE
     k = num_clusters(p)
     p_pad = k * g
 
@@ -380,7 +381,8 @@ def mesh_search_pairs(mesh: TriangleMesh, origins, directions,
                             memory_space=pltpu.VMEM)
     nb = ng // GROUPS
     t_pair, idx_pair = pl.pallas_call(
-        functools.partial(_pairs_kernel, t_min=t_min, num_tris=num_tris),
+        functools.partial(_pairs_kernel, t_min=t_min, num_tris=num_tris,
+                          cluster_rows=cluster_rows_for(mesh.v0.shape[0])),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
