@@ -12,6 +12,18 @@ from qt_raytracer_tpu.kernels.sphere_intersect import sphere_search_pallas
 from qt_raytracer_tpu.models import scenes
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_jit_cache():
+    # Same workaround as tests/test_mesh_edge_gradients.py: XLA:CPU's
+    # backend_compile aborts inside LLVM once ~40 modules of live
+    # executables accumulate (deterministic at a suite position, never
+    # standalone). The full-render graphs here crossed that threshold when
+    # round 5 added interpret-mode kernel modules earlier in the alphabet;
+    # dropping the accumulated executables first keeps the suite green.
+    jax.clear_caches()
+    yield
+
+
 def _random_rays(n, key, spread=6.0):
     k1, k2 = jax.random.split(jax.random.PRNGKey(key))
     o = jax.random.uniform(k1, (n, 3), minval=-spread, maxval=spread)
