@@ -375,44 +375,3 @@ def test_mesh_compact_mode_is_bitwise_identical():
                                       nee=True, interpret=True,
                                       compact=True))
     np.testing.assert_array_equal(ref, img)
-
-
-def test_mesh_sort0_variant_is_bitwise_identical():
-    # QTRT_MESH_SORT0=0 (bounce-0 sort skip, a lax.cond on the traced
-    # depth): live-lane kernel outputs are order-independent, so the full
-    # trace must be bitwise identical on a MULTI-cluster mesh where the
-    # sort actually runs. Env is read at trace time -> clear caches around
-    # the flip.
-    import os
-
-    from qt_raytracer_tpu.core import sampling
-    from qt_raytracer_tpu.core.integrator_flat import trace_flat_world
-    from qt_raytracer_tpu.kernels.mesh_intersect import num_clusters
-    from qt_raytracer_tpu.models import meshes
-
-    world = meshes.terrain_world(nx=48, nz=48)
-    assert num_clusters(world.mesh.v0.shape[0]) > 1
-    key = jax.random.PRNGKey(5)
-    n = 2048
-    o = jax.random.uniform(key, (n, 3), minval=-3.0, maxval=3.0)
-    o = o.at[:, 1].add(2.5)
-    d = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
-    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
-    keys = sampling.pixel_states(key, jnp.arange(n, dtype=jnp.uint32),
-                                 "hash")
-    skeys = sampling.sample_keys(keys, 0)
-    ref = np.asarray(trace_flat_world(world, o, d, skeys, 3,
-                                      interpret=True))
-    old = os.environ.get("QTRT_MESH_SORT0")
-    try:
-        os.environ["QTRT_MESH_SORT0"] = "0"
-        jax.clear_caches()
-        img = np.asarray(trace_flat_world(world, o, d, skeys, 3,
-                                          interpret=True))
-    finally:
-        if old is None:
-            os.environ.pop("QTRT_MESH_SORT0", None)
-        else:
-            os.environ["QTRT_MESH_SORT0"] = old
-        jax.clear_caches()
-    np.testing.assert_array_equal(ref, img)
